@@ -1,0 +1,184 @@
+"""MS-DSA-NET family: BaseUNet, MS_DSA_NET, MS_DSA_NET_PS.
+
+TPU-native (NDHWC, flax) re-design of the reference architectures
+(networks/ms_dsa_net/ms_dsa_net.py:20-726): a 6-level U-Net encoder with
+parallel dual-self-attention transformer branches at the 4x..32x levels,
+decoded by transposed-conv (MS_DSA_NET) or configurable-upsample
+(MS_DSA_NET_PS) skip-fusion blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fcd_tpu.ops.attention import TransformerBlock
+from fcd_tpu.ops.blocks import GeneralUnetrUpBlock, UnetrBasicBlock, UnetrUpBlock
+from fcd_tpu.ops.layers import Conv3d, GroupNorm, max_pool_2x
+
+
+def _triple(x) -> Tuple[int, int, int]:
+    if isinstance(x, (tuple, list)):
+        return tuple(int(v) for v in x)
+    return (int(x),) * 3
+
+
+class BaseUNet(nn.Module):
+    """Depth-configurable plain U-Net (ms_dsa_net.py:20-101)."""
+
+    out_channels: int
+    feature_size: int = 16
+    depth: int = 5
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    res_block: bool = False
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = []
+        chans = self.feature_size
+        out = x
+        for i in range(self.depth):
+            out = UnetrBasicBlock(
+                out_channels=chans,
+                kernel_size=3,
+                stride=1,
+                norm_name=self.norm_name,
+                act_name=self.act_name,
+                res_block=self.res_block,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+            )(out, train=train)
+            feats.append(out)
+            if i != self.depth - 1:
+                out = max_pool_2x(out)
+                chans *= 2
+
+        dec = out
+        for i in range(self.depth - 1):
+            chans //= 2
+            dec = UnetrUpBlock(
+                out_channels=chans,
+                kernel_size=3,
+                upsample_kernel_size=2,
+                norm_name=self.norm_name,
+                act_name=self.act_name,
+                res_block=self.res_block,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+            )(dec, feats[-(i + 2)], train=train)
+
+        return Conv3d(self.out_channels, kernel_size=1, use_bias=True,
+                      dtype=self.dtype)(dec)
+
+
+class _MSDSACore(nn.Module):
+    """Shared encoder/transformer trunk of MS_DSA_NET and MS_DSA_NET_PS
+    (ms_dsa_net.py:104-407 / 409-726). The decoder is parameterized by
+    `upsample_mode`: None selects transposed-conv UnetrUpBlocks (MS_DSA_NET),
+    otherwise GeneralUnetrUpBlocks with the requested mode (MS_DSA_NET_PS)."""
+
+    out_channels: int
+    img_size: Sequence[int]
+    feature_size: int = 16
+    project_size: int = 64
+    num_heads: int = 4
+    pos_embed: bool = True
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    dropout_rate: float = 0.0
+    sa_type: str = "parallel"
+    res_block: bool = True
+    use_bias: bool = False
+    num_layers: int = 3
+    upsample_mode: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        fs = self.feature_size
+        img = _triple(self.img_size)
+
+        def encoder(feats, inp):
+            return UnetrBasicBlock(
+                out_channels=feats, kernel_size=3, stride=1,
+                norm_name=self.norm_name, act_name=self.act_name,
+                res_block=self.res_block, use_bias=self.use_bias,
+                dtype=self.dtype,
+            )(inp, train=train)
+
+        x1 = encoder(fs, x)
+        x2 = encoder(fs * 2, max_pool_2x(x1))
+        x3 = encoder(fs * 4, max_pool_2x(x2))
+        x4 = encoder(fs * 8, max_pool_2x(x3))
+        x5 = encoder(fs * 16, max_pool_2x(x4))
+        x6 = encoder(fs * 32, max_pool_2x(x5))
+
+        def embed_and_attend(feat, emb_chans, groups, level_div, proj_size):
+            # 1x1 conv patch embed halving channels + GroupNorm, then
+            # num_layers TransformerBlocks (ms_dsa_net.py:215-295)
+            t = Conv3d(emb_chans, kernel_size=1, use_bias=self.use_bias,
+                       dtype=self.dtype)(feat)
+            t = GroupNorm(num_groups=groups)(t)
+            n = 1
+            for dim in img:
+                n *= dim // level_div
+            for _ in range(self.num_layers):
+                t = TransformerBlock(
+                    input_size=n,
+                    hidden_size=emb_chans,
+                    proj_size=proj_size,
+                    num_heads=self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    pos_embed=self.pos_embed,
+                    sa_type=self.sa_type,
+                    dtype=self.dtype,
+                )(t, train=train)
+            return t
+
+        t3 = embed_and_attend(x3, fs * 2, fs * 1, 4, self.project_size)
+        t4 = embed_and_attend(x4, fs * 4, fs * 2, 8, self.project_size)
+        t5 = embed_and_attend(x5, fs * 8, fs * 4, 16, self.project_size)
+        t6 = embed_and_attend(x6, fs * 16, fs * 8, 32, 32)
+
+        def decoder(feats, inp, skip):
+            if self.upsample_mode is None:
+                return UnetrUpBlock(
+                    out_channels=feats, kernel_size=3, upsample_kernel_size=2,
+                    norm_name=self.norm_name, act_name=self.act_name,
+                    res_block=self.res_block, use_bias=self.use_bias,
+                    dtype=self.dtype,
+                )(inp, skip, train=train)
+            return GeneralUnetrUpBlock(
+                out_channels=feats, kernel_size=3,
+                norm_name=self.norm_name, act_name=self.act_name,
+                res_block=self.res_block, use_bias=self.use_bias,
+                upsample_mode=self.upsample_mode, scale_factor=2,
+                dtype=self.dtype,
+            )(inp, skip, train=train)
+
+        y5 = decoder(fs * 8, t6, t5)
+        y4 = decoder(fs * 4, y5, t4)
+        y3 = decoder(fs * 2, y4, t3)
+        y2 = decoder(fs * 2, y3, x2)
+        y1 = decoder(fs * 1, y2, x1)
+
+        return Conv3d(self.out_channels, kernel_size=1, use_bias=True,
+                      dtype=self.dtype)(y1)
+
+
+def MS_DSA_NET(**kwargs) -> _MSDSACore:
+    """Transposed-conv decoder variant (ms_dsa_net.py:104-407)."""
+    kwargs.setdefault("upsample_mode", None)
+    return _MSDSACore(**kwargs)
+
+
+def MS_DSA_NET_PS(**kwargs) -> _MSDSACore:
+    """Pixelshuffle (or deconv / nontrainable) decoder variant
+    (ms_dsa_net.py:409-726)."""
+    kwargs.setdefault("upsample_mode", "pixelshuffle")
+    return _MSDSACore(**kwargs)

@@ -1,0 +1,319 @@
+"""Dual self-attention (DSA / EPA) blocks — the architectural heart.
+
+Re-designed from the reference math (networks/ms_dsa_net/conv_blocks.py:211-359,
+networks/unetr_pp/transformerblock.py:76-126): a fused qkvv projection feeding
+(a) channel attention — q·kᵀ over the per-head channel axis with a learned
+temperature — and (b) spatial attention made linear in sequence length by a
+learned N→P projection `EF` of keys and values.
+
+Notes vs the reference:
+- Everything is expressed as einsums over (B, heads, ...) so XLA maps it
+  straight onto the MXU; the fused qkvv matmul is one (N, C)x(C, 4C) GEMM.
+- The reference's spatial-attention output uses a permute(0,3,1,2) before
+  reshape (conv_blocks.py:353) that scrambles (head, channel) interleaving;
+  we use the standard (B, N, heads*c) assembly (a fixed permutation of the
+  same information — checkpoint-level parity is not a goal of this rebuild).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fcd_tpu.ops.blocks import MLPBlock, UnetResBlock
+from fcd_tpu.ops.layers import Conv3d, Dense, LayerNorm, uniform_scale_init
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    # smooth rsqrt form: finite gradient even at x == 0 (which occurs when a
+    # level's grid collapses to 1^3 and instance norm zeroes the features)
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps)
+
+
+class DSA(nn.Module):
+    """Dual self-attention on token sequences (B, N, C).
+
+    sa_type: 'parallel' (channel + spatial summed), 'serial'
+    (spatial into channel), 'spatial', or 'channel'.
+    """
+
+    input_size: int                 # N = D*H*W of the level's grid
+    hidden_size: int                # C
+    proj_size: int                  # P, the learned sequence projection size
+    num_heads: int = 4
+    qkv_bias: bool = False
+    channel_attn_drop: float = 0.1
+    spatial_attn_drop: float = 0.1
+    sa_type: str = "parallel"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, N, C = x.shape
+        h = self.num_heads
+        c = C // h
+        num = 4 if self.sa_type == "parallel" else 3
+
+        qkvv = Dense(C * num, use_bias=self.qkv_bias, dtype=self.dtype)(x)
+        qkvv = qkvv.reshape(B, N, num, h, c)
+        # (B, h, c, N) per slot
+        def slot(i):
+            return jnp.transpose(qkvv[:, :, i], (0, 2, 3, 1))
+
+        q = slot(0)
+        k = slot(1)
+
+        temperature = self.param("temperature", nn.initializers.ones, (h, 1, 1))
+        temperature2 = self.param("temperature2", nn.initializers.ones, (h, 1, 1))
+
+        ef = None
+        if self.sa_type != "channel":
+            ef = self.param(
+                "EF",
+                uniform_scale_init(1.0 / (self.proj_size ** 0.5)),
+                (self.input_size, self.proj_size),
+            )
+            ef = ef.astype(q.dtype)
+
+        qn = _l2_normalize(q, axis=-1)
+        kn = _l2_normalize(k, axis=-1)
+
+        drop_ca = nn.Dropout(self.channel_attn_drop, deterministic=not train)
+        drop_sa = nn.Dropout(self.spatial_attn_drop, deterministic=not train)
+
+        def channel_attention(v_ca):
+            # (B,h,c,N)x(B,h,d,N) -> (B,h,c,d): channel-channel affinity
+            attn = jnp.einsum("bhcn,bhdn->bhcd", qn, kn) * temperature.astype(qn.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = drop_ca(attn)
+            out = jnp.einsum("bhcd,bhdn->bhcn", attn, v_ca)
+            return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, C)
+
+        def spatial_attention(v_sa):
+            kp = jnp.einsum("bhcn,np->bhcp", k, ef)
+            vp = jnp.einsum("bhcn,np->bhcp", v_sa, ef)
+            attn = jnp.einsum("bhcn,bhcp->bhnp", qn, kp) * temperature2.astype(qn.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = drop_sa(attn)
+            out = jnp.einsum("bhnp,bhcp->bhnc", attn, vp)
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+
+        if self.sa_type == "channel":
+            return channel_attention(slot(2))
+        if self.sa_type == "spatial":
+            return spatial_attention(slot(2))
+        if self.sa_type == "serial":
+            # spatial first, its output re-read as values of channel attention
+            v_sa = slot(2)
+            kp = jnp.einsum("bhcn,np->bhcp", k, ef)
+            vp = jnp.einsum("bhcn,np->bhcp", v_sa, ef)
+            attn_sa = jnp.einsum("bhcn,bhcp->bhnp", qn, kp) * temperature2.astype(qn.dtype)
+            attn_sa = jax.nn.softmax(attn_sa, axis=-1)
+            attn_sa = drop_sa(attn_sa)
+            x_sa = jnp.einsum("bhnp,bhcp->bhnc", attn_sa, vp)  # (B,h,N,c)
+            attn_ca = jnp.einsum("bhcn,bhdn->bhcd", qn, kn) * temperature.astype(qn.dtype)
+            attn_ca = jax.nn.softmax(attn_ca, axis=-1)
+            attn_ca = drop_ca(attn_ca)
+            out = jnp.einsum("bhcd,bhnd->bhcn", attn_ca, x_sa)
+            return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, C)
+
+        # parallel
+        x_ca = channel_attention(slot(2))
+        x_sa = spatial_attention(slot(3))
+        return x_ca + x_sa
+
+
+class ChannelDropout3d(nn.Module):
+    """torch Dropout3d parity: zero whole channels per sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        b, c = x.shape[0], x.shape[-1]
+        mask = jax.random.bernoulli(rng, keep, (b, 1, 1, 1, c))
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class TransformerBlock(nn.Module):
+    """DSA transformer block on 5D features (conv_blocks.py:18-90):
+
+    tokens = flatten(x) (+pos-embed); x += gamma * DSA(LN(tokens));
+    then a conv residual: x + conv1x1(drop3d(UnetResBlock_batchnorm(x))).
+    """
+
+    input_size: int
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+    pos_embed: bool = True
+    sa_type: str = "parallel"
+    conv_norm_name: str = "batch"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, D, H, W, C = x.shape
+        N = D * H * W
+        tokens = x.reshape(B, N, C)
+        if self.pos_embed:
+            pe = self.param("pos_embed", nn.initializers.zeros, (1, self.input_size, C))
+            tokens = tokens + pe.astype(tokens.dtype)
+
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (C,))
+        attn = DSA(
+            input_size=self.input_size,
+            hidden_size=self.hidden_size,
+            proj_size=self.proj_size,
+            num_heads=self.num_heads,
+            channel_attn_drop=self.dropout_rate,
+            spatial_attn_drop=self.dropout_rate,
+            sa_type=self.sa_type,
+            dtype=self.dtype,
+        )(LayerNorm()(tokens), train=train)
+        tokens = tokens + gamma.astype(tokens.dtype) * attn
+
+        y = tokens.reshape(B, D, H, W, C)
+        conv = UnetResBlock(
+            out_channels=C, kernel_size=3, stride=1,
+            norm_name=self.conv_norm_name, dtype=self.dtype,
+        )(y, train=train)
+        conv = ChannelDropout3d(0.1)(conv, train=train)
+        conv = Conv3d(C, kernel_size=1, use_bias=True, dtype=self.dtype)(conv)
+        return y + conv
+
+
+class EPABlock(nn.Module):
+    """UNETR++ flavour of the transformer block
+    (networks/unetr_pp/transformerblock.py:7-73): identical dual attention,
+    but the conv residual branches from the attention output
+    (x = attn_skip + conv8(conv51(attn_skip)))."""
+
+    input_size: int
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+    pos_embed: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, D, H, W, C = x.shape
+        N = D * H * W
+        tokens = x.reshape(B, N, C)
+        if self.pos_embed:
+            pe = self.param("pos_embed", nn.initializers.zeros, (1, self.input_size, C))
+            tokens = tokens + pe.astype(tokens.dtype)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (C,))
+        attn = DSA(
+            input_size=self.input_size,
+            hidden_size=self.hidden_size,
+            proj_size=self.proj_size,
+            num_heads=self.num_heads,
+            channel_attn_drop=self.dropout_rate,
+            spatial_attn_drop=self.dropout_rate,
+            sa_type="parallel",
+            dtype=self.dtype,
+        )(LayerNorm()(tokens), train=train)
+        tokens = tokens + gamma.astype(tokens.dtype) * attn
+
+        attn_skip = tokens.reshape(B, D, H, W, C)
+        conv = UnetResBlock(out_channels=C, kernel_size=3, stride=1,
+                            norm_name="batch", dtype=self.dtype)(attn_skip, train=train)
+        conv = ChannelDropout3d(0.1)(conv, train=train)
+        conv = Conv3d(C, kernel_size=1, use_bias=True, dtype=self.dtype)(conv)
+        return attn_skip + conv
+
+
+class TransformerBlockDSA(nn.Module):
+    """ViT-style variant (conv_blocks.py:92-143): pre-norm DSA + pre-norm MLP."""
+
+    input_size: int
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+    pos_embed: bool = True
+    sa_type: str = "parallel"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, D, H, W, C = x.shape
+        N = D * H * W
+        tokens = x.reshape(B, N, C)
+        if self.pos_embed:
+            pe = self.param("pos_embed", nn.initializers.zeros, (1, self.input_size, C))
+            tokens = tokens + pe.astype(tokens.dtype)
+        attn = DSA(
+            input_size=self.input_size,
+            hidden_size=self.hidden_size,
+            proj_size=self.proj_size,
+            num_heads=self.num_heads,
+            channel_attn_drop=self.dropout_rate,
+            spatial_attn_drop=self.dropout_rate,
+            sa_type=self.sa_type,
+            dtype=self.dtype,
+        )(LayerNorm()(tokens), train=train)
+        tokens = tokens + attn
+        tokens = tokens + MLPBlock(mlp_dim=C * 4, dropout_rate=self.dropout_rate,
+                                   dtype=self.dtype)(LayerNorm()(tokens), train=train)
+        return tokens.reshape(B, D, H, W, C)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Cross attention between encoder (x) and decoder (y) features
+    (conv_blocks.py:151-208)."""
+
+    input_size: int
+    hidden_size: int
+    proj_size: int
+    num_heads: int = 4
+    qkv_bias: bool = False
+    drop_rate: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, y, *, train: bool = False):
+        B, D, H, W, C = x.shape
+        N = D * H * W
+        h = self.num_heads
+        c = C // h
+        xs = x.reshape(B, N, C)
+        ys = y.reshape(B, N, C)
+
+        q = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype)(xs)
+        kv = Dense(C * 2, use_bias=self.qkv_bias, dtype=self.dtype)(xs)
+        q = jnp.transpose(q.reshape(B, N, h, c), (0, 2, 3, 1))          # (B,h,c,N)
+        kv = kv.reshape(B, N, 2, h, c)
+        k = jnp.transpose(kv[:, :, 0], (0, 2, 3, 1))
+        v = jnp.transpose(kv[:, :, 1], (0, 2, 3, 1))
+
+        ef = self.param(
+            "EF", uniform_scale_init(1.0 / (self.proj_size ** 0.5)),
+            (self.input_size, self.proj_size),
+        ).astype(q.dtype)
+        kp = jnp.einsum("bhcn,np->bhcp", k, ef)
+        vp = jnp.einsum("bhcn,np->bhcp", v, ef)
+
+        temperature = self.param("temperature", nn.initializers.ones, (h, 1, 1))
+        qn = _l2_normalize(q, axis=-1)
+        attn = jnp.einsum("bhcn,bhcp->bhnp", qn, kp) * temperature.astype(qn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.drop_rate, deterministic=not train)(attn)
+        o = jnp.einsum("bhnp,bhcp->bhnc", attn, vp)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, N, C)
+
+        ys = ys + MLPBlock(mlp_dim=C * 4, dropout_rate=self.drop_rate,
+                           dtype=self.dtype)(LayerNorm()(o), train=train)
+        return ys.reshape(B, D, H, W, C)

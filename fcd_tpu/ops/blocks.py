@@ -1,0 +1,270 @@
+"""U-Net building blocks (NDHWC flax modules).
+
+Functional re-design of the reference's DynUNet-style block family
+(reference: networks/ms_dsa_net/conv_blocks.py:362-967): residual and
+basic conv blocks, transposed-conv / general upsample decoder blocks,
+and attention-gate blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fcd_tpu.ops.layers import (
+    Conv3d,
+    ConvTranspose3d,
+    Dense,
+    InstanceNorm,
+    UpSample,
+    make_act,
+    make_norm,
+)
+
+
+class UnetResBlock(nn.Module):
+    """conv-norm-act -> conv-norm (+ projected residual) -> act.
+
+    Parity target: conv_blocks.py:362-452 (UnetResBlock).
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    use_bias: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        act = make_act(self.act_name)
+        in_channels = x.shape[-1]
+        out = Conv3d(self.out_channels, self.kernel_size, self.stride,
+                     use_bias=self.use_bias, dtype=self.dtype)(x)
+        out = make_norm(self.norm_name, self.out_channels,
+                        use_running_average=not train)(out)
+        out = act(out)
+        out = Conv3d(self.out_channels, self.kernel_size, 1,
+                     use_bias=self.use_bias, dtype=self.dtype)(out)
+        out = make_norm(self.norm_name, self.out_channels,
+                        use_running_average=not train)(out)
+
+        downsample = (in_channels != self.out_channels) or (self.stride != 1)
+        residual = x
+        if downsample:
+            residual = Conv3d(self.out_channels, 1, self.stride,
+                              use_bias=self.use_bias, dtype=self.dtype)(residual)
+            residual = make_norm(self.norm_name, self.out_channels,
+                                 use_running_average=not train)(residual)
+        out = out + residual
+        return act(out)
+
+
+class UnetBasicBlock(nn.Module):
+    """conv-norm-act x2 without the residual path (conv_blocks.py:455-521)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    use_bias: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        act = make_act(self.act_name)
+        out = Conv3d(self.out_channels, self.kernel_size, self.stride,
+                     use_bias=self.use_bias, dtype=self.dtype)(x)
+        out = make_norm(self.norm_name, self.out_channels,
+                        use_running_average=not train)(out)
+        out = act(out)
+        out = Conv3d(self.out_channels, self.kernel_size, 1,
+                     use_bias=self.use_bias, dtype=self.dtype)(out)
+        out = make_norm(self.norm_name, self.out_channels,
+                        use_running_average=not train)(out)
+        return act(out)
+
+
+class UnetrBasicBlock(nn.Module):
+    """Res-or-basic selector block (conv_blocks.py:779-835)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    res_block: bool = True
+    use_bias: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        cls = UnetResBlock if self.res_block else UnetBasicBlock
+        return cls(
+            out_channels=self.out_channels,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            norm_name=self.norm_name,
+            act_name=self.act_name,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x, train=train)
+
+
+class UnetrUpBlock(nn.Module):
+    """Transposed-conv upsample + skip fusion + conv block
+    (conv_blocks.py:607-689)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    res_block: bool = True
+    use_bias: bool = False
+    fuse: str = "cat"  # 'cat' | 'sum'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        out = ConvTranspose3d(
+            self.out_channels,
+            kernel_size=self.upsample_kernel_size,
+            stride=self.upsample_kernel_size,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.fuse == "cat":
+            out = jnp.concatenate([out, skip], axis=-1)
+        else:
+            out = out + skip
+        cls = UnetResBlock if self.res_block else UnetBasicBlock
+        return cls(
+            out_channels=self.out_channels,
+            kernel_size=self.kernel_size,
+            stride=1,
+            norm_name=self.norm_name,
+            act_name=self.act_name,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(out, train=train)
+
+
+class GeneralUnetrUpBlock(nn.Module):
+    """UnetrUpBlock with configurable upsampling mode
+    (conv_blocks.py:692-775): pixelshuffle / deconv / nontrainable."""
+
+    out_channels: int
+    kernel_size: int = 3
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    res_block: bool = True
+    use_bias: bool = False
+    fuse: str = "cat"
+    upsample_mode: str = "pixelshuffle"
+    scale_factor: int = 2
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        out = UpSample(
+            features=self.out_channels,
+            scale=self.scale_factor,
+            mode=self.upsample_mode,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.fuse == "cat":
+            out = jnp.concatenate([out, skip], axis=-1)
+        else:
+            out = out + skip
+        cls = UnetResBlock if self.res_block else UnetBasicBlock
+        return cls(
+            out_channels=self.out_channels,
+            kernel_size=self.kernel_size,
+            stride=1,
+            norm_name=self.norm_name,
+            act_name=self.act_name,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(out, train=train)
+
+
+class AttentionBlock(nn.Module):
+    """Attention gate (conv_blocks.py:838-894): psi = sigmoid(conv(relu(Wg g + Wx x)))."""
+
+    f_int: int
+    use_bias: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, g, x, *, train: bool = False):
+        g1 = Conv3d(self.f_int, 1, 1, use_bias=self.use_bias, dtype=self.dtype)(g)
+        g1 = make_norm("batch", self.f_int, use_running_average=not train)(g1)
+        x1 = Conv3d(self.f_int, 1, 1, use_bias=self.use_bias, dtype=self.dtype)(x)
+        x1 = make_norm("batch", self.f_int, use_running_average=not train)(x1)
+        psi = jax.nn.relu(g1 + x1)
+        psi = Conv3d(1, 1, 1, use_bias=True, dtype=self.dtype)(psi)
+        psi = make_norm("batch", 1, use_running_average=not train)(psi)
+        psi = jax.nn.sigmoid(psi)
+        return x * psi
+
+
+class AgUpBlock(nn.Module):
+    """Attention-gated upsample block (conv_blocks.py:897-967)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+    norm_name: str = "instance"
+    res_block: bool = True
+    use_bias: bool = False
+    fuse: str = "sum"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        out = ConvTranspose3d(
+            self.out_channels,
+            kernel_size=self.upsample_kernel_size,
+            stride=self.upsample_kernel_size,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        skip = AttentionBlock(f_int=self.out_channels // 2, use_bias=self.use_bias,
+                              dtype=self.dtype)(out, skip, train=train)
+        if self.fuse == "sum":
+            out = out + skip
+        else:
+            out = jnp.concatenate([out, skip], axis=-1)
+        cls = UnetResBlock if self.res_block else UnetBasicBlock
+        return cls(
+            out_channels=self.out_channels,
+            kernel_size=self.kernel_size,
+            stride=1,
+            norm_name=self.norm_name,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(out, train=train)
+
+
+class MLPBlock(nn.Module):
+    """Transformer MLP (MONAI MLPBlock parity: dense-gelu-drop-dense-drop)."""
+
+    mlp_dim: int
+    dropout_rate: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        hidden = Dense(self.mlp_dim, dtype=self.dtype)(x)
+        hidden = jax.nn.gelu(hidden)
+        hidden = nn.Dropout(self.dropout_rate, deterministic=not train)(hidden)
+        out = Dense(x.shape[-1], dtype=self.dtype)(hidden)
+        out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        return out

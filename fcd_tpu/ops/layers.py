@@ -1,0 +1,326 @@
+"""Core NDHWC layers: convs, norms, activations, resampling.
+
+Everything is channels-last (B, D, H, W, C) — the layout the TPU vector
+units and XLA's conv tiling prefer — with explicit symmetric padding
+matching the reference's torch/MONAI semantics (padding = (k-1)//2,
+reference: networks/ms_dsa_net/conv_blocks.py:393-436 via MONAI
+get_conv_layer) so weights and outputs are numerically comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _triple(x) -> Tuple[int, int, int]:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == 3
+        return tuple(int(v) for v in x)
+    return (int(x),) * 3
+
+
+# ---------------------------------------------------------------------------
+# Initializers (matching the reference's effective init: train_utils.py:44-60)
+# ---------------------------------------------------------------------------
+
+def kaiming_normal_fan_out(key, shape, dtype=jnp.float32):
+    """He-normal with fan_out for conv kernels (kaiming_normal_, mode='fan_out',
+    nonlinearity='relu'). Flax conv kernels are (kd, kh, kw, in, out):
+    fan_out = prod(kernel_spatial) * out_channels."""
+    receptive = 1
+    for s in shape[:-2]:
+        receptive *= s
+    fan_out = receptive * shape[-1]
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    return nn.initializers.xavier_uniform()(key, shape, dtype)
+
+
+def uniform_scale_init(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims.
+
+    Matches torch.nn.InstanceNorm3d defaults (affine=False, eps=1e-5),
+    which MONAI's norm_name='instance' resolves to.
+    """
+
+    epsilon: float = 1e-5
+    affine: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with affine params (torch GroupNorm parity, eps=1e-5)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=None,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over (batch + spatial), torch BatchNorm3d parity
+    (eps=1e-5, momentum=0.1 torch-style => 0.9 flax-style)."""
+
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=None,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=None, param_dtype=jnp.float32)(x)
+
+
+def make_norm(norm_name: str, channels: int, *, num_groups: int = 8,
+              use_running_average: bool = False) -> nn.Module:
+    """Factory mirroring MONAI get_norm_layer for the norms the reference uses."""
+    name = norm_name.lower() if isinstance(norm_name, str) else norm_name[0].lower()
+    if name == "instance":
+        return InstanceNorm()
+    if name == "batch":
+        return BatchNorm(use_running_average=use_running_average)
+    if name == "group":
+        return GroupNorm(num_groups=num_groups)
+    if name == "layer":
+        return LayerNorm()
+    raise ValueError(f"Unsupported norm: {norm_name}")
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single shared slope (torch nn.PReLU default)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(self.init), (1,))
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+def make_act(act_name) -> Callable:
+    if isinstance(act_name, (tuple, list)):
+        name, kwargs = act_name[0].lower(), (act_name[1] if len(act_name) > 1 else {})
+    else:
+        name, kwargs = str(act_name).lower(), {}
+    if name == "leakyrelu":
+        slope = kwargs.get("negative_slope", 0.01)
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "prelu":
+        return PReLU(init=kwargs.get("init", 0.25))
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    raise ValueError(f"Unsupported activation: {act_name}")
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+class Conv3d(nn.Module):
+    """3D conv, NDHWC, torch-style symmetric padding ((k-1)//2 each side)."""
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    use_bias: bool = True
+    kernel_init: Callable = kaiming_normal_fan_out
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _triple(self.kernel_size)
+        s = _triple(self.stride)
+        pad = tuple(((kk - 1) // 2, (kk - 1) // 2) for kk in k)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvTranspose3d(nn.Module):
+    """Transposed 3D conv (kernel == stride case used by the reference's
+    upsample path, reference: conv_blocks.py:548-557)."""
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 2
+    stride: Union[int, Sequence[int]] = 2
+    use_bias: bool = True
+    kernel_init: Callable = kaiming_normal_fan_out
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _triple(self.kernel_size)
+        s = _triple(self.stride)
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Pooling / resampling
+# ---------------------------------------------------------------------------
+
+def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.max_pool3d(x, 2, 2) on NDHWC."""
+    return nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+
+
+def pixel_shuffle_3d(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Rearrange (B, D, H, W, C*r^3) -> (B, D*r, H*r, W*r, C)."""
+    b, d, h, w, c = x.shape
+    r = factor
+    oc = c // (r ** 3)
+    x = x.reshape(b, d, h, w, r, r, r, oc)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d * r, h * r, w * r, oc)
+
+
+def interpolate_trilinear(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Trilinear upsample with align_corners=False (torch interpolate parity)."""
+    b, d, h, w, c = x.shape
+    new_shape = (b, d * scale, h * scale, w * scale, c)
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+def interpolate_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    b, d, h, w, c = x.shape
+    new_shape = (b, d * scale, h * scale, w * scale, c)
+    return jax.image.resize(x, new_shape, method="nearest")
+
+
+class UpSample(nn.Module):
+    """MONAI-UpSample-equivalent with the three modes the reference exposes
+    via params['segresnet_upsample_mode'] (reference: get_model.py:160,201).
+
+    - 'deconv': ConvTranspose(k=scale, s=scale)
+    - 'pixelshuffle': 3x3 conv to C_out * scale^3 then pixel shuffle
+    - 'nontrainable': trilinear interpolation (+1x1 conv if channels change)
+    """
+
+    features: int
+    scale: int = 2
+    mode: str = "pixelshuffle"
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.mode == "deconv":
+            return ConvTranspose3d(
+                self.features, kernel_size=self.scale, stride=self.scale,
+                use_bias=self.use_bias, dtype=self.dtype,
+            )(x)
+        if self.mode == "pixelshuffle":
+            y = Conv3d(
+                self.features * self.scale ** 3, kernel_size=3, stride=1,
+                use_bias=self.use_bias, dtype=self.dtype,
+            )(x)
+            return pixel_shuffle_3d(y, self.scale)
+        if self.mode == "nontrainable":
+            y = interpolate_trilinear(x, self.scale)
+            if y.shape[-1] != self.features:
+                y = Conv3d(self.features, kernel_size=1, use_bias=self.use_bias,
+                           dtype=self.dtype)(y)
+            return y
+        raise ValueError(f"Unsupported upsample mode: {self.mode}")
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+class Dense(nn.Module):
+    """Linear layer with xavier-uniform init (reference effective init for
+    nn.Linear, train_utils.py:50-53)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
