@@ -1,0 +1,113 @@
+"""Headline benchmark: full-volume sliding-window inference throughput.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (mirrors the reference's evaluation path, train.py:148-165):
+MS_DSA_NET (feature_size 16, the config.py defaults) over an MNI152-1mm
+FLAIR+T1 volume (182x218x182, 2 channels), roi 128^3, overlap 0.25,
+constant blending, bf16 compute — measured volumes/sec on one chip.
+
+vs_baseline: ratio against an estimated A100 PyTorch+MONAI throughput
+for the same workload, derived from the XLA-reported FLOPs per volume
+at 312 TFLOP/s bf16 peak x 30% utilization (a generous utilization for
+torch+MONAI host-looped sliding-window inference; BASELINE.md records
+that the reference publishes no numbers). The driver's north star is
+vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VOL_SHAPE = (182, 218, 182, 2)
+N_WARMUP = 1
+N_ITERS = 5
+A100_PEAK_BF16 = 312e12
+A100_ASSUMED_UTIL = 0.30
+
+
+def main() -> None:
+    from fcd_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.infer.sliding_window import dense_patch_starts, sliding_window_inference
+    from fcd_tpu.models.factory import get_model, init_model
+    from fcd_tpu.train.state import make_eval_fn
+
+    params = get_default_params()
+    params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True)
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    predict_v = make_eval_fn(model)
+
+    def predictor(patches):
+        return predict_v(variables, patches)
+
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(*VOL_SHAPE).astype(np.float32))
+
+    def run():
+        out = sliding_window_inference(
+            vol,
+            predictor,
+            roi_size=(128, 128, 128),
+            out_channels=params["chans_out"],
+            sw_batch=params["sw_batch_size"],
+            overlap=params["sw_overlap"],
+            blend=params["sw_blend"],
+            compute_dtype=jnp.bfloat16,
+        )
+        # force completion: the axon relay backend's block_until_ready is
+        # async; a tiny host fetch is the reliable sync point
+        np.asarray(out[0, 0, 0, 0])
+        return out
+
+    for _ in range(N_WARMUP):
+        run()
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        run()
+    dt = (time.perf_counter() - t0) / N_ITERS
+    vol_per_s = 1.0 / dt
+
+    # FLOPs per volume: per-patch forward cost x number of grid patches
+    n_patches = dense_patch_starts(VOL_SHAPE[:3], (128, 128, 128), params["sw_overlap"]).shape[0]
+    try:
+        sw_batch = params["sw_batch_size"]
+        lowered = jax.jit(predictor).lower(
+            jax.ShapeDtypeStruct((sw_batch, 128, 128, 128, 2), jnp.bfloat16)
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_batch = float(cost.get("flops", 0.0))
+        flops_per_volume = flops_per_batch * (n_patches / sw_batch)
+    except Exception:
+        flops_per_volume = 0.0
+
+    if flops_per_volume > 0:
+        a100_vol_per_s = (A100_PEAK_BF16 * A100_ASSUMED_UTIL) / flops_per_volume
+        vs_baseline = vol_per_s / a100_vol_per_s
+    else:
+        vs_baseline = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "sliding_window_inference_throughput",
+                "value": round(vol_per_s, 4),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Batched sliding-window inference with fused on-device blending.
+
+TPU-native re-design of MONAI's sliding_window_inference as used by the
+reference (train.py:148-165: roi=patch_size, overlap=0.25, constant
+blending; seg_fcd_test.py:37-54). Instead of a host loop over patch
+crops, the whole volume stays device-resident: a static patch grid is
+computed on host, patches are gathered with dynamic slices inside one
+jitted scan, run through the network in batches of `sw_batch`, and
+blended (constant or Gaussian-weighted) by read-modify-write
+dynamic-slice accumulation into HBM accumulators. One compilation per
+(volume-shape-bucket, roi, sw_batch).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dense_patch_starts(
+    image_size: Sequence[int], roi_size: Sequence[int], overlap: float
+) -> np.ndarray:
+    """Start coordinates of the dense patch grid (MONAI parity).
+
+    interval = round(roi * (1 - overlap)); starts cover the volume with the
+    final patch clamped flush to the end (MONAI dense_patch_slices).
+    """
+    starts_per_axis = []
+    for dim, roi in zip(image_size, roi_size):
+        if roi >= dim:
+            starts_per_axis.append([0])
+            continue
+        interval = int(roi * (1.0 - overlap))
+        interval = max(interval, 1)
+        n = int(math.ceil((dim - roi) / interval)) + 1
+        starts = [min(i * interval, dim - roi) for i in range(n)]
+        # dedupe while keeping order (clamping can repeat the last start)
+        seen, uniq = set(), []
+        for s in starts:
+            if s not in seen:
+                seen.add(s)
+                uniq.append(s)
+        starts_per_axis.append(uniq)
+    grid = np.stack(
+        np.meshgrid(*starts_per_axis, indexing="ij"), axis=-1
+    ).reshape(-1, len(image_size))
+    return grid.astype(np.int32)
+
+
+def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
+    """MONAI-style Gaussian importance map: centered, sigma = sigma_scale*roi,
+    normalized to max 1, clipped to a small positive floor."""
+    grids = []
+    for r in roi_size:
+        center = (r - 1) / 2.0
+        sigma = sigma_scale * r
+        x = np.arange(r, dtype=np.float64)
+        grids.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
+    imp = functools.reduce(np.multiply.outer, grids)
+    imp = imp / imp.max()
+    # clamp the floor (MONAI does the same) so single-coverage corner voxels
+    # don't underflow the float32 accumulator
+    imp = np.maximum(imp, 1e-3)
+    return imp.astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("predictor", "roi_size", "sw_batch", "out_channels", "blend",
+                     "sigma_scale", "compute_dtype"),
+)
+def _sliding_window_jit(
+    volume: jnp.ndarray,            # (D, H, W, C) already padded to >= roi
+    starts: jnp.ndarray,            # (n_padded, 3) int32 patch starts
+    valid: jnp.ndarray,             # (n_padded,) float32 1/0 validity weights
+    *,
+    predictor: Callable,            # (B, rd, rh, rw, C) -> (B, rd, rh, rw, out_channels)
+    roi_size: Tuple[int, int, int],
+    sw_batch: int,
+    out_channels: int,
+    blend: str,
+    sigma_scale: float,
+    compute_dtype,
+):
+    d, h, w, c = volume.shape
+    rd, rh, rw = roi_size
+    n = starts.shape[0]
+    n_batches = n // sw_batch
+
+    if blend == "gaussian":
+        imp = jnp.asarray(gaussian_importance(roi_size, sigma_scale))
+    else:
+        imp = jnp.ones(roi_size, jnp.float32)
+    imp4 = imp[..., None]  # (rd, rh, rw, 1)
+
+    acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
+    cnt = jnp.zeros((d, h, w, 1), jnp.float32)
+
+    vol_c = volume.astype(compute_dtype)
+
+    def gather(start):
+        return jax.lax.dynamic_slice(vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c))
+
+    def body(carry, batch_idx):
+        acc, cnt = carry
+        idx0 = batch_idx * sw_batch
+        batch_starts = jax.lax.dynamic_slice(starts, (idx0, 0), (sw_batch, 3))
+        batch_valid = jax.lax.dynamic_slice(valid, (idx0,), (sw_batch,))
+        patches = jax.vmap(gather)(batch_starts)               # (B, rd, rh, rw, C)
+        logits = predictor(patches).astype(jnp.float32)        # (B, rd, rh, rw, O)
+
+        def scatter(i, carry):
+            acc, cnt = carry
+            s = batch_starts[i]
+            wgt = imp4 * batch_valid[i]
+            pos = (s[0], s[1], s[2], 0)
+            cur = jax.lax.dynamic_slice(acc, pos, (rd, rh, rw, out_channels))
+            acc = jax.lax.dynamic_update_slice(acc, cur + logits[i] * wgt, pos)
+            curc = jax.lax.dynamic_slice(cnt, pos, (rd, rh, rw, 1))
+            cnt = jax.lax.dynamic_update_slice(cnt, curc + wgt, pos)
+            return acc, cnt
+
+        acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter, (acc, cnt))
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(n_batches))
+    return acc / jnp.maximum(cnt, 1e-8)
+
+
+def sliding_window_inference(
+    volume: jnp.ndarray,
+    predictor: Callable,
+    *,
+    roi_size: Sequence[int],
+    out_channels: int,
+    sw_batch: int = 8,
+    overlap: float = 0.25,
+    blend: str = "constant",
+    sigma_scale: float = 0.125,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Run `predictor` over a (D, H, W, C) volume in overlapping roi-size
+    patches and blend the logits. Returns (D, H, W, out_channels) float32.
+
+    The predictor must map (B, rd, rh, rw, C) -> (B, rd, rh, rw, out_channels)
+    and should already be parameter-bound (and jittable).
+    """
+    roi_size = tuple(int(r) for r in roi_size)
+    d, h, w, c = volume.shape
+    pad = [max(r - s, 0) for r, s in zip(roi_size, (d, h, w))]
+    padded = volume
+    if any(pad):
+        # symmetric padding (MONAI pads half before, half after)
+        cfg = [(p // 2, p - p // 2) for p in pad] + [(0, 0)]
+        padded = jnp.pad(volume, cfg)
+    pd, ph, pw, _ = padded.shape
+
+    starts = dense_patch_starts((pd, ph, pw), roi_size, overlap)
+    n = starts.shape[0]
+    n_pad = (-n) % sw_batch
+    valid = np.ones((n + n_pad,), np.float32)
+    if n_pad:
+        starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
+        valid[n:] = 0.0
+
+    out = _sliding_window_jit(
+        padded,
+        jnp.asarray(starts),
+        jnp.asarray(valid),
+        predictor=predictor,
+        roi_size=roi_size,
+        sw_batch=sw_batch,
+        out_channels=out_channels,
+        blend=blend,
+        sigma_scale=sigma_scale,
+        compute_dtype=compute_dtype,
+    )
+    if any(pad):
+        sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))
+        out = out[sl[0], sl[1], sl[2], :]
+    return out

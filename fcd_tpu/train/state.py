@@ -1,0 +1,130 @@
+"""Train state and the jitted train/eval step factory.
+
+Re-design of the reference's AMP train loop body (train.py:365-392):
+bf16 forward, f32 master params and loss, AdamW via optax with the LR
+injected per epoch (no GradScaler — bf16 on TPU needs no loss scaling),
+gradient accumulation via optax.MultiSteps, VAE aux-loss mixing
+(train.py:376-380).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformation:
+    """AdamW over all parameters (train_utils.py:63-71), LR injectable."""
+    tx = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=params_cfg["lr"],
+        weight_decay=params_cfg.get("weight_decay", 1e-5),
+    )
+    accum = params_cfg.get("gradient_accumulation_steps", 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+def create_train_state(model, variables, params_cfg: Dict[str, Any]) -> TrainState:
+    tx = make_optimizer(params_cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _set_lr(opt_state, lr):
+    """Functionally set the injected learning_rate hyperparameter."""
+    if hasattr(opt_state, "hyperparams"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state._replace(hyperparams=hp)
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state._replace(inner_opt_state=_set_lr(opt_state.inner_opt_state, lr))
+    raise ValueError("Could not locate injected learning_rate in optimizer state")
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    *,
+    model_returns_vaeloss: bool = False,
+    loss_vae_weight: float = 0.2,
+    donate: bool = True,
+    wrap_jit: bool = True,
+) -> Callable:
+    """Build the train step (jitted unless wrap_jit=False, e.g. when the
+    caller jits with explicit mesh shardings):
+
+    (state, image, label, lr, rng[, thickness]) -> (state, loss)
+    """
+
+    def step_fn(state: TrainState, image, label, lr, rng, thickness=None):
+        def compute_loss(p):
+            outputs, mutated = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                image,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            vae_loss = 0.0
+            if model_returns_vaeloss:
+                outputs, vae_loss = outputs
+            loss = loss_fn(outputs, label, thickness) + loss_vae_weight * (
+                vae_loss if model_returns_vaeloss else 0.0
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    if not wrap_jit:
+        return step_fn
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_fn(model, *, model_returns_vaeloss: bool = False) -> Callable:
+    """Parameter-bound jittable predictor (B,...,C_in)->(B,...,C_out) logits,
+    for direct eval and as the sliding-window predictor."""
+
+    def predict(variables, image):
+        out = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", FrozenDict())},
+            image,
+            train=False,
+        )
+        if model_returns_vaeloss and isinstance(out, tuple):
+            out = out[0]
+        return out
+
+    return jax.jit(predict)

@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # The axon TPU plugin (sitecustomize) force-selects its platform via
 # jax.config, overriding JAX_PLATFORMS env; override it back to CPU.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: model-zoo tests re-trace the same tiny graphs
+# every run; warm runs skip the multi-second XLA compiles.
+from fcd_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -1,0 +1,77 @@
+"""Sliding-window engine tests: grid parity and blending equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fcd_tpu.infer.sliding_window import (
+    dense_patch_starts,
+    gaussian_importance,
+    sliding_window_inference,
+)
+
+
+def test_dense_patch_starts_cover_and_clamp():
+    starts = dense_patch_starts((182, 218, 182), (128, 128, 128), 0.25)
+    # interval = 96 -> per-axis starts [0, 54] or [0, 90] clamped to dim-roi
+    ax0 = sorted(set(starts[:, 0]))
+    assert ax0[0] == 0 and ax0[-1] == 182 - 128
+    # every voxel covered
+    for dim, col in ((182, 0), (218, 1), (182, 2)):
+        axis_starts = sorted(set(starts[:, col]))
+        covered_end = 0
+        for s in axis_starts:
+            assert s <= covered_end  # no gaps
+            covered_end = max(covered_end, s + 128)
+        assert covered_end == dim
+
+
+def test_dense_patch_starts_small_volume():
+    starts = dense_patch_starts((64, 64, 64), (128, 128, 128), 0.25)
+    assert starts.shape == (1, 3) and (starts == 0).all()
+
+
+def test_gaussian_importance_peak_center():
+    imp = gaussian_importance((8, 8, 8))
+    assert imp.max() == 1.0
+    assert np.unravel_index(imp.argmax(), imp.shape) in [(3, 3, 3), (4, 4, 4)]
+    assert imp.min() > 0
+
+
+def _voxelwise_predictor(patches):
+    # voxelwise linear map: out0 = 2*c0 - c1, out1 = c0 + c1
+    c0, c1 = patches[..., 0], patches[..., 1]
+    return jnp.stack([2 * c0 - c1, c0 + c1], axis=-1)
+
+
+def test_blending_matches_direct_forward_constant():
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(24, 30, 20, 2).astype(np.float32))
+    out = sliding_window_inference(
+        vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=4, overlap=0.25, blend="constant",
+    )
+    want = np.asarray(_voxelwise_predictor(vol))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_blending_matches_direct_forward_gaussian():
+    rng = np.random.RandomState(1)
+    vol = jnp.asarray(rng.rand(20, 24, 28, 2).astype(np.float32))
+    out = sliding_window_inference(
+        vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=3, overlap=0.25, blend="gaussian",
+    )
+    want = np.asarray(_voxelwise_predictor(vol))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+
+def test_small_volume_padding_roundtrip():
+    rng = np.random.RandomState(2)
+    vol = jnp.asarray(rng.rand(10, 12, 40, 2).astype(np.float32))
+    out = sliding_window_inference(
+        vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25,
+    )
+    assert out.shape == (10, 12, 40, 2)
+    want = np.asarray(_voxelwise_predictor(vol))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
