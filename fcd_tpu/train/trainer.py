@@ -1,0 +1,357 @@
+"""ModelTrainer: the training/evaluation engine.
+
+TPU-native re-design of the reference trainer (train.py:37-426): jitted
+bf16 train steps over device-resident patch batches with on-device
+augmentation, per-epoch warmup+cosine LR, EMA-smoothed-val-loss early
+stopping (patience + LR-floor, train.py:252-282,398-408), best/latest
+checkpointing with resume, sliding-window validation, post-train double
+test with/without post-processing (train.py:421-424), CSV + optional
+wandb logging (train.py:284-305).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcd_tpu.data.augment import augment_batch, scheduled_probs
+from fcd_tpu.data.dataset import FCDDataset, PatchLoader, VolumeLoader
+from fcd_tpu.infer.sliding_window import sliding_window_inference
+from fcd_tpu.losses.combined import make_combined_loss
+from fcd_tpu.metrics import calculate_lesion_wise_metrics, calculate_voxel_level_metrics
+from fcd_tpu.models.factory import count_params, get_model, init_model
+from fcd_tpu.postproc.segment import post_process_prediction
+from fcd_tpu.train import checkpoint as ckpt
+from fcd_tpu.train.schedule import epoch_lr
+from fcd_tpu.train.state import (
+    create_train_state,
+    make_eval_fn,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _get_wandb(params):
+    if os.environ.get("WANDB_MODE") == "disabled":
+        return None
+    try:
+        import wandb  # noqa: F401
+
+        return wandb
+    except ImportError:
+        return None
+
+
+def _triple(x):
+    if isinstance(x, (tuple, list)):
+        return tuple(int(v) for v in x)
+    return (int(x),) * 3
+
+
+class ModelTrainer:
+    latest_model_filename = ckpt.LATEST_NAME
+    best_model_filename = ckpt.BEST_NAME
+
+    def __init__(self, params: Dict[str, Any], verbose: bool = True):
+        self.params = params
+        self.verbose = verbose
+        self.val_interval = 1
+        self.rng = jax.random.PRNGKey(params.get("seed", 42))
+
+        self.model, self.params = get_model(params)
+        variables = init_model(self.model, self.params, seed=params.get("seed", 42))
+        if verbose:
+            print(f"Trainable parameters: {count_params(variables)}")
+        self.state = create_train_state(self.model, variables, self.params)
+        self.tx = make_optimizer(self.params)
+        self.loss_fn = make_combined_loss(self.params)
+        self.train_step = make_train_step(
+            self.model, self.loss_fn, self.tx,
+            model_returns_vaeloss=self.params["model_returns_vaeloss"],
+            loss_vae_weight=self.params.get("loss_vae_weight", 0.2),
+            donate=self.params.get("donate_buffers", True),
+        )
+        self.predict = make_eval_fn(
+            self.model, model_returns_vaeloss=self.params["model_returns_vaeloss"]
+        )
+        self.wandb = _get_wandb(params)
+        self.init_stats()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_stats(self):
+        self.best_val_loss = float("inf")
+        self.best_ema_val_loss = float("inf")
+        self.best_val_loss_epoch = -1
+        self.best_ema_val_loss_epoch = -1
+        self.ema_val_loss: Optional[float] = None
+        self.early_stopping_counter = 0
+        self.log_keys = None
+        self.train_start_time = time.time()
+
+    def _extra(self):
+        return {
+            "best_val_loss": self.best_val_loss,
+            "best_ema_val_loss": self.best_ema_val_loss,
+            "ema_val_loss": -1.0 if self.ema_val_loss is None else self.ema_val_loss,
+            "early_stopping_counter": self.early_stopping_counter,
+        }
+
+    def save_model(self, path: str, epoch: Optional[int] = None):
+        ckpt.save_checkpoint(path, self.state, epoch=epoch, extra=self._extra())
+
+    def load_model(self, path: str, with_optimizer: bool = True):
+        self.state, epoch, extra = ckpt.load_checkpoint(
+            path, self.state, with_optimizer=with_optimizer
+        )
+        if extra:
+            self.best_val_loss = float(extra.get("best_val_loss", float("inf")))
+            self.best_ema_val_loss = float(extra.get("best_ema_val_loss", float("inf")))
+            ema = float(extra.get("ema_val_loss", -1.0))
+            self.ema_val_loss = None if ema < 0 else ema
+            self.early_stopping_counter = int(extra.get("early_stopping_counter", 0))
+        return epoch
+
+    @property
+    def variables(self):
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    # -- inference -------------------------------------------------------------
+
+    def inference(self, volume: np.ndarray) -> jnp.ndarray:
+        """Sliding-window logits over a (D, H, W, C) volume
+        (train.py:148-165 parity: roi=patch, overlap .25)."""
+        p = self.params
+
+        def predictor(patches):
+            return self.predict(self.variables, patches)
+
+        compute_dtype = (
+            jnp.bfloat16 if p.get("use_amp", True) else jnp.float32
+        )
+        return sliding_window_inference(
+            jnp.asarray(volume),
+            predictor,
+            roi_size=_triple(p["patch_size"]),
+            out_channels=p["chans_out"],
+            sw_batch=p.get("sw_batch_size", 2),
+            overlap=p.get("sw_overlap", 0.25),
+            blend=p.get("sw_blend", "constant"),
+            sigma_scale=p.get("sw_sigma_scale", 0.125),
+            compute_dtype=compute_dtype,
+        )
+
+    def _activate(self, logits: np.ndarray) -> np.ndarray:
+        if self.params.get("softmax", True) and logits.shape[-1] > 1:
+            return np.asarray(jax.nn.softmax(logits, axis=-1))
+        if self.params.get("sigmoid", False):
+            return np.asarray(jax.nn.sigmoid(logits))
+        return np.asarray(logits)
+
+    def evaluate(self, loader, post_process=True, compute_lesion_level_metrics=False,
+                 include_hd95=False, desc="validation"):
+        """Per-subject sliding-window evaluation (train.py:184-234)."""
+        total_loss, n = 0.0, 0
+        all_preds: List[np.ndarray] = []
+        all_labels: List[np.ndarray] = []
+        fcd_idx = 0 if self.params["chans_out"] == 1 else 1
+
+        for vol in loader:
+            logits = self.inference(vol.image)
+            loss = float(
+                self.loss_fn(jnp.asarray(logits)[None], jnp.asarray(vol.label)[None])
+            )
+            total_loss += loss
+            n += 1
+            probs = self._activate(logits)
+            binary = (probs > 0.5).astype(np.float32)[None]
+            if post_process:
+                binary = post_process_prediction(binary, self.params["min_region_size"])
+            all_preds.append(binary[0, ..., fcd_idx])
+            all_labels.append(vol.label[..., 0])
+
+        metrics = calculate_voxel_level_metrics(
+            all_preds, all_labels, compute_hd95=include_hd95,
+        )
+        if compute_lesion_level_metrics:
+            metrics.update(calculate_lesion_wise_metrics(all_preds, all_labels))
+        if self.verbose:
+            for k, v in metrics.items():
+                print(f"{k}: {v:.4f}", flush=True)
+        return total_loss / max(n, 1), metrics
+
+    def test(self, data_dir: str, test_subjects: Sequence[str], post_process=True):
+        if not test_subjects:
+            print("No test subjects provided, skipping testing.")
+            return {}
+        ds = FCDDataset(data_dir, self.params, test_subjects, verbose=self.verbose)
+        loader = VolumeLoader(ds)
+        _, metrics = self.evaluate(
+            loader, post_process=post_process, compute_lesion_level_metrics=True,
+            include_hd95=True,
+            desc="test" + ("_postprocess" if post_process else ""),
+        )
+        print(",".join(metrics.keys()) + ",", flush=True)
+        print(",".join(f"{v:.4f}" for v in metrics.values()) + ",", flush=True)
+        return metrics
+
+    # -- training --------------------------------------------------------------
+
+    def validate(self, epoch: int, val_loader):
+        avg_val_loss, metrics = self.evaluate(
+            val_loader, post_process=False, compute_lesion_level_metrics=False,
+            include_hd95=False, desc="validation",
+        )
+        new_best = False
+        alpha = self.params.get("val_loss_ema_alpha", 0.7)
+        if self.ema_val_loss is None:
+            self.ema_val_loss = avg_val_loss
+        else:
+            self.ema_val_loss = (1 - alpha) * avg_val_loss + alpha * self.ema_val_loss
+
+        if avg_val_loss < self.best_val_loss:
+            self.best_val_loss = avg_val_loss
+            self.best_val_loss_epoch = epoch + 1
+            new_best = True
+        if self.ema_val_loss < self.best_ema_val_loss:
+            self.best_ema_val_loss = self.ema_val_loss
+            self.best_ema_val_loss_epoch = epoch + 1
+            self.early_stopping_counter = 0
+        else:
+            self.early_stopping_counter += 1
+
+        if self.verbose:
+            print(
+                f"current epoch: {epoch + 1} validation loss: {avg_val_loss:.4f}, "
+                f"ema_val_loss: {self.ema_val_loss:.4f}\n"
+                f"best validation loss: {self.best_val_loss:.4f} at epoch: "
+                f"{self.best_val_loss_epoch}",
+                flush=True,
+            )
+        return new_best, metrics, avg_val_loss
+
+    def log_metrics(self, epoch, train_loss, val_loss, ema_val_loss, val_metrics,
+                    lr, elapsed_time, csv_path=None):
+        values = {
+            "epoch": epoch + 1,
+            "train_loss": train_loss,
+            "val_loss": val_loss if val_loss is not None else 0,
+            "ema_val_loss": ema_val_loss if ema_val_loss is not None else 0,
+            **({f"val_{k}": v for k, v in val_metrics.items()} if val_metrics else {}),
+            "learning_rate": lr,
+            "epoch_time": elapsed_time,
+        }
+        if self.wandb is not None and getattr(self.wandb, "run", None) is not None:
+            self.wandb.log(values)
+        if csv_path:
+            if epoch == 0 or self.log_keys is None or not os.path.exists(csv_path):
+                with open(csv_path, "w") as f:
+                    f.write(",".join(values.keys()) + "\n")
+                self.log_keys = list(values.keys())
+            with open(csv_path, "a") as f:
+                f.write(",".join(str(values.get(k, "")) for k in self.log_keys) + "\n")
+
+    def train(self, data_dir: str, train_subjects, val_subjects, save_dir: str,
+              test_subjects=(), resume: bool = False):
+        if not train_subjects or not val_subjects:
+            raise ValueError("Train and validation subject lists must be non-empty.")
+        os.makedirs(save_dir, exist_ok=True)
+        p = self.params
+
+        train_ds = FCDDataset(data_dir, p, train_subjects, verbose=self.verbose)
+        val_ds = FCDDataset(data_dir, p, val_subjects, verbose=self.verbose)
+        train_loader = PatchLoader(train_ds, p, seed=p.get("seed", 42))
+        val_loader = VolumeLoader(val_ds)
+
+        latest_path = os.path.join(save_dir, self.latest_model_filename)
+        best_path = os.path.join(save_dir, self.best_model_filename)
+        log_path = os.path.join(save_dir, "training_log.csv")
+
+        max_epochs = p.get("max_epochs", 300)
+        min_epochs = p.get("min_epochs", 0)
+        min_lr = p.get("min_lr", 1e-6)
+        patience = p.get("early_stopping_patience", 25)
+
+        self.init_stats()
+        current_epoch = 0
+        if resume and os.path.exists(latest_path):
+            loaded = self.load_model(latest_path, with_optimizer=True)
+            current_epoch = (loaded + 1) if loaded is not None else 0
+            print(f"Loaded existing model weights from {latest_path}")
+
+        if self.wandb is not None and os.environ.get("WANDB_MODE") != "offline":
+            try:
+                self.wandb.init(
+                    project=p.get("wandb_project", "FCD"),
+                    name=f"{p['model_type']}_{os.path.basename(save_dir)}",
+                    config={**{k: str(v) for k, v in p.items()}, "optimizer": "AdamW"},
+                )
+            except Exception:
+                self.wandb = None
+
+        use_aug = True
+        self.train_start_time = time.time()
+        for epoch in range(current_epoch, max_epochs):
+            epoch_start = time.time()
+            if self.verbose:
+                print("-" * 10)
+                print(f"epoch {epoch + 1}/{max_epochs}", flush=True)
+
+            lr = epoch_lr(p, epoch)
+            cd_prob, gm_prob = scheduled_probs(p, epoch)
+
+            epoch_loss, step_count = 0.0, 0
+            for images, labels in train_loader:
+                self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
+                xb = jnp.asarray(images)
+                yb = jnp.asarray(labels)
+                if use_aug:
+                    xb, yb = augment_batch(
+                        xb, yb, aug_key,
+                        jnp.float32(cd_prob), jnp.float32(gm_prob),
+                    )
+                self.state, loss = self.train_step(self.state, xb, yb, lr, step_key)
+                epoch_loss += float(loss)
+                step_count += 1
+
+            epoch_loss /= max(step_count, 1)
+
+            val_metrics, val_loss = {}, None
+            stop_flag = False
+            if (epoch + 1) % self.val_interval == 0:
+                new_best, val_metrics, val_loss = self.validate(epoch, val_loader)
+                if new_best:
+                    self.save_model(best_path, epoch)
+                    if self.verbose:
+                        print("saved new best metric model", flush=True)
+                stop_flag = epoch >= min_epochs and (
+                    self.early_stopping_counter >= patience or lr <= min_lr
+                )
+
+            if p.get("keep_latest_model", False):
+                self.save_model(latest_path, epoch)
+
+            elapsed = time.time() - epoch_start
+            self.log_metrics(epoch, epoch_loss, val_loss, self.ema_val_loss,
+                             val_metrics, lr, elapsed, csv_path=log_path)
+
+            if stop_flag:
+                print(f"Early stopping triggered after {epoch + 1} epochs")
+                break
+
+        total = time.time() - self.train_start_time
+        print(f"Training completed, total time: {total:.2f} seconds")
+
+        if test_subjects:
+            if os.path.exists(best_path):
+                self.load_model(best_path, with_optimizer=False)
+            self.test(data_dir, test_subjects, post_process=False)
+            self.test(data_dir, test_subjects, post_process=True)
+
+        if self.wandb is not None and getattr(self.wandb, "run", None) is not None:
+            self.wandb.finish()
