@@ -219,11 +219,15 @@ class ConvTranspose3d(nn.Module):
     def __call__(self, x):
         k = _triple(self.kernel_size)
         s = _triple(self.stride)
+        # k == s: non-overlapping upsample, VALID gives exactly n*s.
+        # k > s (e.g. MONAI UNet's k=3 s=2 with padding+output_padding):
+        # SAME reproduces the n*s output size.
+        padding = "VALID" if k == s else "SAME"
         return nn.ConvTranspose(
             features=self.features,
             kernel_size=k,
             strides=s,
-            padding="VALID",
+            padding=padding,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             bias_init=nn.initializers.zeros,

@@ -20,6 +20,10 @@ MODELS_READY = [
     "SEGRESNET_DSA",
     "SEGRESNETVAE_DSA",
     "UNETRPP",
+    "UNET",
+    "VNET",
+    "UNETR",
+    "SWINUNETR",
 ]
 
 
