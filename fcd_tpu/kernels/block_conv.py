@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: 3x3x3 conv via output-block GEMMs in space-to-depth form.
+
+Why: XLA's direct 3D conv at the U-Net's top levels (C=16..32 on 128^3
+grids) runs at ~2-4% MFU — a 16-channel contraction/output cannot fill
+the 128-lane MXU (measured: conv 16->16 @128^3 = 14.3 ms on v5e).
+Re-blocking so one GEMM row produces a 2x2x2 *block* of output voxels
+turns the conv into [H/2*W/2, 8C] x [8C, 8C_out] matmuls with every
+dimension >= 128 — full MXU tiles at a fixed 64/27 = 2.37x FLOP
+redundancy. Measured: 2.78 ms for the same conv, a 5.1x speedup.
+
+Form: with x zero-padded by 1 and space-to-depth'd (parity-major channel
+blocks of 8C), the im2col patch of an output block is the concatenation
+of the 8 unit-shifted (0/+1 per axis) s2d voxels. The kernel streams one
+(batch, depth-row) slab at a time; H/W shifts are expressed as operand
+slices feeding dot_general directly (hoisting them into separate copies
+or reshapes is 2-5x slower in Mosaic).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def make_blocked_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Cin,Cout) -> (8, 8*Cin, 8*Cout): per-shift GEMM weights.
+
+    Index layout: shift s=(sz,sy,sx) selects the matrix; input channels are
+    the s2d parity-major (pz0,py0,px0,ci) order, output channels the s2d
+    (qz,qy,qx,co) order. For output sub-voxel q and kernel tap k, the
+    padded patch coordinate is p = q + k in 0..3, split s = p >> 1,
+    p0 = p & 1.
+    """
+    cin, cout = w.shape[3], w.shape[4]
+    wb = jnp.zeros((2, 2, 2, 2, 2, 2, cin, 2, 2, 2, cout), w.dtype)
+    for q in itertools.product(range(2), repeat=3):
+        for kk in itertools.product(range(3), repeat=3):
+            p = tuple(q[i] + kk[i] for i in range(3))
+            s = tuple(v >> 1 for v in p)
+            p0 = tuple(v & 1 for v in p)
+            wb = wb.at[s[0], s[1], s[2], p0[0], p0[1], p0[2], :,
+                       q[0], q[1], q[2], :].add(w[kk[0], kk[1], kk[2]])
+    return wb.reshape(8, 8 * cin, 8 * cout)
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, D/2, H/2, W/2, 8C), parity-major channels."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def depth_to_space(x: jnp.ndarray, cout: int) -> jnp.ndarray:
+    b, d2, h2, w2, _ = x.shape
+    x = x.reshape(b, d2, h2, w2, 2, 2, 2, cout)
+    return x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d2 * 2, h2 * 2, w2 * 2, cout)
+
+
+def _conv_kernel(x_lo_ref, x_hi_ref, w_ref, out_ref, acc_ref):
+    """One (batch, depth-row) step: s2d output row Z from s2d rows Z, Z+1.
+
+    Slice-then-dot ordering matters: slicing H first (row subrange) and
+    feeding the W subrange slice straight into dot_general lets Mosaic fuse
+    the shifted read into the matmul operand (no materialized copies).
+    """
+    h2 = out_ref.shape[2]
+    w2 = out_ref.shape[3]
+
+    rows = (x_lo_ref[0, 0], x_hi_ref[0, 0])   # each (H2+1, W2+1, 8C)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for sz in range(2):
+        base = rows[sz]
+        for sy in range(2):
+            r = base[sy:sy + h2]              # (H2, W2+1, 8C)
+            for sx in range(2):
+                sl = r[:, sx:sx + w2, :]
+                tap = 4 * sz + 2 * sy + sx
+                acc_ref[...] += jax.lax.dot_general(
+                    sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _blocked_conv_s2d(xs: jnp.ndarray, wblk: jnp.ndarray, cout8: int,
+                      out_dtype, interpret: bool) -> jnp.ndarray:
+    bsz, d2p, h2p, w2p, c8 = xs.shape
+    d2, h2, w2 = d2p - 1, h2p - 1, w2p - 1
+    return pl.pallas_call(
+        _conv_kernel,
+        grid=(bsz, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2p, w2p, c8), lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2p, w2p, c8), lambda b, z: (b, z + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h2, w2, cout8),
+                               lambda b, z: (b, z, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d2, h2, w2, cout8), out_dtype),
+        scratch_shapes=[pltpu.VMEM((h2, w2, cout8), jnp.float32)],
+        interpret=interpret,
+    )(xs, xs, wblk)
+
+
+def _forward(x, w, out_dtype, interpret):
+    bsz, d, h, w_dim, cin = x.shape
+    cout = w.shape[-1]
+    # pad tiny channel counts (e.g. the 2-channel stem) so 8*cin fills lanes
+    if cin < 16:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, 16 - cin),))
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, 16 - cin), (0, 0)))
+        cin = 16
+    wblk = make_blocked_weights(w.astype(jnp.float32)).astype(jnp.bfloat16)
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    xs = space_to_depth(xp)
+    out_s2d = _blocked_conv_s2d(xs, wblk, 8 * cout, out_dtype, interpret)
+    return depth_to_space(out_s2d, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def blocked_conv3x3(x: jnp.ndarray, w: jnp.ndarray, out_dtype=jnp.bfloat16,
+                    interpret: bool = False) -> jnp.ndarray:
+    """3x3x3 stride-1 'same' conv, NDHWC, via the blocked-GEMM Pallas kernel.
+
+    Differentiable: dx reuses the same kernel with spatially-flipped,
+    in/out-transposed weights; dw falls back to XLA's conv weight-grad.
+    """
+    return _forward(x, w, out_dtype, interpret)
+
+
+def _fwd(x, w, out_dtype, interpret):
+    return _forward(x, w, out_dtype, interpret), (x, w)
+
+
+def _bwd(out_dtype, interpret, res, g):
+    x, w = res
+    # dx: correlate g with flipped weights, channels transposed
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = _forward(g.astype(jnp.bfloat16), w_flip, jnp.float32, interpret)
+    dx = dx[..., : x.shape[-1]].astype(x.dtype)
+    # dw: XLA's conv weight-grad (different GEMM shape; XLA handles it fine)
+    _, w_vjp = jax.vjp(
+        lambda wv: jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), wv, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ),
+        w.astype(jnp.float32),
+    )
+    (dw,) = w_vjp(g.astype(jnp.float32))
+    return dx, dw.astype(w.dtype)
+
+
+blocked_conv3x3.defvjp(_fwd, _bwd)
+
+
+def fast_conv_supported(shape, cin: int, cout: int, kernel_size, stride) -> bool:
+    """Applicability: k3 s1, even spatial dims, channel counts where the
+    blocked GEMM beats XLA's direct conv, VMEM-fitting slabs."""
+    if tuple(kernel_size) != (3, 3, 3) or tuple(stride) != (1, 1, 1):
+        return False
+    d, h, w = shape
+    if d % 2 or h % 2 or w % 2 or min(d, h, w) < 8:
+        return False
+    if cin > 64 or cout > 64 or cout < 8:
+        return False
+
+    def pad_to(v, m):
+        return (v + m - 1) // m * m
+
+    cin_eff = max(cin, 16)
+    h2, w2 = h // 2, w // 2
+    # VMEM estimate with Mosaic (8,128) tiling padding: 2 input specs x
+    # double buffering, double-buffered output, f32 accumulator, weights
+    slab = (h2 + 1) * pad_to(w2 + 1, 8) * pad_to(8 * cin_eff, 128) * 2
+    out_b = h2 * pad_to(w2, 8) * pad_to(8 * cout, 128) * 2
+    acc = h2 * pad_to(w2, 8) * pad_to(8 * cout, 128) * 4
+    wbytes = 8 * 8 * cin_eff * 8 * cout * 2
+    return 4 * slab + 2 * out_b + acc + wbytes < 11 * 1024 * 1024
+
+
+def reference_conv3x3(x, w, b=None):
+    """lax direct conv (parity oracle and fallback)."""
+    out = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if b is not None:
+        out = out + b
+    return out
