@@ -76,13 +76,25 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / N_ITERS
     vol_per_s = 1.0 / dt
 
-    # FLOPs per volume: per-patch forward cost x number of grid patches
+    # FLOPs per volume: per-patch forward cost x number of grid patches,
+    # measured on the plain XLA formulation (the blocked-GEMM kernels carry
+    # a deliberate 2.37x FLOP redundancy that must not inflate the baseline)
     n_patches = dense_patch_starts(VOL_SHAPE[:3], (128, 128, 128), params["sw_overlap"]).shape[0]
     try:
+        import os
+
+        os.environ["FCD_S2D"] = "0"
+        os.environ["FCD_FAST_CONV"] = "0"
         sw_batch = params["sw_batch_size"]
-        lowered = jax.jit(predictor).lower(
+
+        def raw_predict(x):  # fresh trace, not the cached jitted predictor
+            return model.apply(variables, x, train=False)
+
+        lowered = jax.jit(raw_predict).lower(
             jax.ShapeDtypeStruct((sw_batch, 128, 128, 128, 2), jnp.bfloat16)
         )
+        os.environ.pop("FCD_S2D")
+        os.environ.pop("FCD_FAST_CONV")
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -39,15 +39,28 @@ def make_blocked_weights(w: jnp.ndarray) -> jnp.ndarray:
     p0 = p & 1.
     """
     cin, cout = w.shape[3], w.shape[4]
-    wb = jnp.zeros((2, 2, 2, 2, 2, 2, cin, 2, 2, 2, cout), w.dtype)
-    for q in itertools.product(range(2), repeat=3):
-        for kk in itertools.product(range(3), repeat=3):
-            p = tuple(q[i] + kk[i] for i in range(3))
-            s = tuple(v >> 1 for v in p)
-            p0 = tuple(v & 1 for v in p)
-            wb = wb.at[s[0], s[1], s[2], p0[0], p0[1], p0[2], :,
-                       q[0], q[1], q[2], :].add(w[kk[0], kk[1], kk[2]])
-    return wb.reshape(8, 8 * cin, 8 * cout)
+    # static tap-selection tensor: T[s, p0, q, k] = 1 iff padded patch
+    # coordinate p = q + k satisfies s = p >> 1 and p0 = p & 1 (per axis)
+    global _TAP_TABLE
+    if _TAP_TABLE is None:
+        t = np.zeros((8, 8, 8, 27), np.float32)
+        for q in itertools.product(range(2), repeat=3):
+            for ki, kk in enumerate(itertools.product(range(3), repeat=3)):
+                p = tuple(q[i] + kk[i] for i in range(3))
+                s = tuple(v >> 1 for v in p)
+                p0 = tuple(v & 1 for v in p)
+                si = 4 * s[0] + 2 * s[1] + s[2]
+                pi = 4 * p0[0] + 2 * p0[1] + p0[2]
+                qi = 4 * q[0] + 2 * q[1] + q[2]
+                t[si, pi, qi, ki] = 1.0
+        _TAP_TABLE = t
+    table = jnp.asarray(_TAP_TABLE, w.dtype)
+    wb = jnp.einsum("kio,spqk->spioq", w.reshape(27, cin, cout), table)
+    # (s, p0, cin, cout, q) -> (s, p0*cin, q*cout)
+    return wb.transpose(0, 1, 2, 4, 3).reshape(8, 8 * cin, 8 * cout)
+
+
+_TAP_TABLE = None
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:

@@ -25,10 +25,34 @@ from fcd_tpu.ops.layers import (
 )
 
 
+def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
+                        act_name, dtype) -> bool:
+    """Can this residual block run s2d-resident on the current backend?"""
+    import os
+
+    import jax as _jax
+
+    if os.environ.get("FCD_S2D", "1") == "0":
+        return False
+    if _jax.default_backend() != "tpu" or dtype != jnp.bfloat16:
+        return False
+    if kernel_size != 3 or stride != 1 or norm_name != "instance":
+        return False
+    name = act_name[0] if isinstance(act_name, (tuple, list)) else str(act_name)
+    if name.lower() != "leakyrelu":
+        return False
+    from fcd_tpu.ops.s2d_ops import s2d_supported
+
+    return s2d_supported(dims, cin, cout) and s2d_supported(dims, cout, cout)
+
+
 class UnetResBlock(nn.Module):
     """conv-norm-act -> conv-norm (+ projected residual) -> act.
 
-    Parity target: conv_blocks.py:362-452 (UnetResBlock).
+    Parity target: conv_blocks.py:362-452 (UnetResBlock). On TPU with bf16
+    and instance norm, the whole block runs s2d-resident (lane-dense HBM +
+    blocked-GEMM Pallas convs); `s2d_parts` lets callers pass already-s2d
+    inputs whose concatenation forms the block input (decoder cat fusion).
     """
 
     out_channels: int
@@ -39,10 +63,56 @@ class UnetResBlock(nn.Module):
     use_bias: bool = False
     dtype: Optional[Any] = None
 
+    def _neg_slope(self) -> float:
+        if isinstance(self.act_name, (tuple, list)) and len(self.act_name) > 1:
+            return self.act_name[1].get("negative_slope", 0.01)
+        return 0.01
+
+    def _s2d_forward(self, parts, train: bool):
+        from fcd_tpu.ops.s2d_ops import (
+            from_s2d,
+            instance_norm_s2d,
+            leaky_relu_s2d,
+        )
+
+        slope = self._neg_slope()
+        oc = self.out_channels
+        cin_total = sum(c for _, c in parts)
+
+        ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
+                    dtype=self.dtype)(s2d_parts=parts)
+        ys = instance_norm_s2d(ys, oc)
+        ys = leaky_relu_s2d(ys, slope)
+        ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
+                    dtype=self.dtype)(s2d_parts=[(ys, oc)])
+        ys = instance_norm_s2d(ys, oc)
+
+        if cin_total != oc or len(parts) > 1:
+            rs = Conv3d(oc, 1, 1, use_bias=self.use_bias,
+                        dtype=self.dtype)(s2d_parts=parts)
+            rs = instance_norm_s2d(rs, oc)
+        else:
+            rs = parts[0][0]
+
+        out = leaky_relu_s2d(ys + rs, slope)
+        return from_s2d(out, oc)
+
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        act = make_act(self.act_name)
+    def __call__(self, x=None, *, train: bool = False, s2d_parts=None):
+        from fcd_tpu.ops.s2d_ops import to_s2d
+
+        if s2d_parts is not None:
+            return self._s2d_forward(s2d_parts, train)
+
         in_channels = x.shape[-1]
+        if _s2d_block_eligible(
+            x.shape[1:4], in_channels, self.out_channels, self.kernel_size,
+            self.stride, self.norm_name, self.act_name, self.dtype,
+        ):
+            xs = to_s2d(x.astype(jnp.bfloat16))
+            return self._s2d_forward([(xs, in_channels)], train)
+
+        act = make_act(self.act_name)
         out = Conv3d(self.out_channels, self.kernel_size, self.stride,
                      use_bias=self.use_bias, dtype=self.dtype)(x)
         out = make_norm(self.norm_name, self.out_channels,
@@ -132,19 +202,15 @@ class UnetrUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = False):
-        out = ConvTranspose3d(
+        transp = ConvTranspose3d(
             self.out_channels,
             kernel_size=self.upsample_kernel_size,
             stride=self.upsample_kernel_size,
             use_bias=self.use_bias,
             dtype=self.dtype,
-        )(x)
-        if self.fuse == "cat":
-            out = jnp.concatenate([out, skip], axis=-1)
-        else:
-            out = out + skip
+        )
         cls = UnetResBlock if self.res_block else UnetBasicBlock
-        return cls(
+        conv_block = cls(
             out_channels=self.out_channels,
             kernel_size=self.kernel_size,
             stride=1,
@@ -152,7 +218,38 @@ class UnetrUpBlock(nn.Module):
             act_name=self.act_name,
             use_bias=self.use_bias,
             dtype=self.dtype,
-        )(out, train=train)
+        )
+
+        # s2d-resident decoder fusion: the k2s2 transposed conv is a single
+        # matmul straight into s2d layout; the skip converts once; the cat
+        # never materializes (the residual block convolves the parts
+        # separately and sums — linearity of convolution).
+        skip_c = skip.shape[-1]
+        if (
+            self.res_block
+            and self.fuse == "cat"
+            and self.upsample_kernel_size == 2
+            and skip_c == self.out_channels
+            and _s2d_block_eligible(
+                skip.shape[1:4], 2 * self.out_channels, self.out_channels,
+                self.kernel_size, 1, self.norm_name, self.act_name, self.dtype,
+            )
+        ):
+            from fcd_tpu.ops.s2d_ops import to_s2d
+
+            up_s2d = transp(x, emit_s2d=True)
+            skip_s2d = to_s2d(skip.astype(jnp.bfloat16))
+            return conv_block(
+                train=train,
+                s2d_parts=[(up_s2d, self.out_channels), (skip_s2d, skip_c)],
+            )
+
+        out = transp(x)
+        if self.fuse == "cat":
+            out = jnp.concatenate([out, skip], axis=-1)
+        else:
+            out = out + skip
+        return conv_block(out, train=train)
 
 
 class GeneralUnetrUpBlock(nn.Module):

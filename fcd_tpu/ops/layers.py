@@ -203,18 +203,26 @@ class Conv3d(nn.Module):
     kernel_init: Callable = kaiming_normal_fan_out
     dtype: Optional[Dtype] = None
 
-    @nn.compact
-    def __call__(self, x):
-        from fcd_tpu.kernels.block_conv import blocked_conv3x3, fast_conv_supported
-
+    def _params(self, cin: int):
         k = _triple(self.kernel_size)
-        s = _triple(self.stride)
-        cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, k + (cin, self.features))
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
             if self.use_bias else None
         )
+        return kernel, bias
+
+    @nn.compact
+    def __call__(self, x=None, *, s2d_parts=None):
+        from fcd_tpu.kernels.block_conv import blocked_conv3x3, fast_conv_supported
+
+        if s2d_parts is not None:
+            return self._s2d_forward(s2d_parts)
+
+        k = _triple(self.kernel_size)
+        s = _triple(self.stride)
+        cin = x.shape[-1]
+        kernel, bias = self._params(cin)
         dtype = self.dtype or x.dtype
 
         use_fast = (
@@ -235,6 +243,30 @@ class Conv3d(nn.Module):
             out = out + bias.astype(out.dtype)
         return out
 
+    def _s2d_forward(self, parts):
+        """Convolve a concatenation of aligned-s2d parts without
+        materializing the cat (linearity over kernel input-channel slices).
+        kernel_size must be 3 (blocked Pallas) or 1 (block-diag matmul)."""
+        from fcd_tpu.ops.s2d_ops import conv1x1_s2d, conv3x3_s2d
+
+        cin_total = sum(c for _, c in parts)
+        kernel, bias = self._params(cin_total)
+        ksize = _triple(self.kernel_size)[0]
+        out = None
+        off = 0
+        for xs, c in parts:
+            if ksize == 3:
+                piece = conv3x3_s2d(xs, kernel[..., off:off + c, :])
+            elif ksize == 1:
+                piece = conv1x1_s2d(xs, kernel[0, 0, 0, off:off + c, :])
+            else:
+                raise ValueError("s2d conv supports kernel sizes 1 and 3")
+            out = piece if out is None else out + piece
+            off += c
+        if bias is not None:
+            out = out + jnp.tile(bias, 8).astype(out.dtype)
+        return out
+
 
 class ConvTranspose3d(nn.Module):
     """Transposed 3D conv (kernel == stride case used by the reference's
@@ -248,24 +280,33 @@ class ConvTranspose3d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, emit_s2d: bool = False):
         k = _triple(self.kernel_size)
         s = _triple(self.stride)
+        kernel = self.param("kernel", self.kernel_init, k + (x.shape[-1], self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        dtype = self.dtype or x.dtype
+        if emit_s2d:
+            from fcd_tpu.ops.s2d_ops import upsample2x_into_s2d
+
+            assert k == (2, 2, 2) and s == (2, 2, 2)
+            return upsample2x_into_s2d(
+                x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), bias
+            )
         # k == s: non-overlapping upsample, VALID gives exactly n*s.
         # k > s (e.g. MONAI UNet's k=3 s=2 with padding+output_padding):
         # SAME reproduces the n*s output size.
         padding = "VALID" if k == s else "SAME"
-        return nn.ConvTranspose(
-            features=self.features,
-            kernel_size=k,
-            strides=s,
-            padding=padding,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        out = jax.lax.conv_transpose(
+            x.astype(dtype), kernel.astype(dtype), s, padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""s2d-resident block execution: parity with the standard path (CPU,
+Pallas interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fcd_tpu.ops.blocks import UnetResBlock, UnetrUpBlock
+from fcd_tpu.ops.s2d_ops import (
+    conv1x1_s2d,
+    from_s2d,
+    instance_norm_s2d,
+    max_pool_2x_s2d_exit,
+    reinterleave_to_padded,
+    to_s2d,
+    upsample2x_into_s2d,
+)
+from fcd_tpu.kernels.block_conv import space_to_depth
+
+
+def test_s2d_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8, 4), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(from_s2d(to_s2d(x), 4)), np.asarray(x))
+
+
+def test_reinterleave_matches_pad_then_s2d():
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 8, 4), jnp.float32)
+    xs = to_s2d(x)
+    got = reinterleave_to_padded(xs, 4)
+    want = space_to_depth(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_instance_norm_s2d_matches_dense():
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 8, 8, 8, 4) * 5 + 3, jnp.float32)
+    xs = to_s2d(x)
+    got = from_s2d(instance_norm_s2d(xs, 4), 4)
+    mean = np.asarray(x).mean(axis=(1, 2, 3), keepdims=True)
+    var = np.asarray(x).var(axis=(1, 2, 3), keepdims=True)
+    want = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_conv1x1_s2d_matches_dense():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 8, 8, 8, 4), jnp.float32)
+    w = jnp.asarray(rng.rand(4, 6), jnp.float32)
+    got = from_s2d(conv1x1_s2d(to_s2d(x), w), 6)
+    want = np.einsum("bdhwc,ck->bdhwk", np.asarray(x), np.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_maxpool_s2d_exit_matches_dense():
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 8, 8, 8, 4), jnp.float32)
+    from flax import linen as nn
+
+    want = nn.max_pool(x, (2, 2, 2), (2, 2, 2))
+    got = max_pool_2x_s2d_exit(to_s2d(x), 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_upsample2x_into_s2d_matches_conv_transpose():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 4, 4, 4, 6), jnp.float32)
+    w = jnp.asarray(rng.rand(2, 2, 2, 6, 3).astype(np.float32))
+    want = jax.lax.conv_transpose(
+        x, w, (2, 2, 2), "VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    got = from_s2d(upsample2x_into_s2d(x, w), 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_resblock_s2d_path_matches_standard():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
+    block = UnetResBlock(out_channels=16, dtype=None)
+    v = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    want = np.asarray(block.apply(v, x, train=False))
+    got = np.asarray(
+        block.apply(v, train=False, s2d_parts=[(to_s2d(x), 16)])
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+def test_resblock_s2d_cat_parts_match_standard_cat():
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
+    cat = jnp.concatenate([a, b], axis=-1)
+    block = UnetResBlock(out_channels=16, dtype=None)
+    v = block.init({"params": jax.random.PRNGKey(1)}, cat, train=False)
+    want = np.asarray(block.apply(v, cat, train=False))
+    got = np.asarray(
+        block.apply(v, train=False, s2d_parts=[(to_s2d(a), 16), (to_s2d(b), 16)])
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+def test_s2d_path_disabled_on_cpu():
+    # eligibility must be False on the CPU test backend
+    from fcd_tpu.ops.blocks import _s2d_block_eligible
+
+    assert not _s2d_block_eligible((128, 128, 128), 16, 16, 3, 1, "instance",
+                                   ("leakyrelu", {"negative_slope": 0.01}),
+                                   jnp.bfloat16)
