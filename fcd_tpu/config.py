@@ -96,7 +96,7 @@ def get_default_params() -> Dict[str, Any]:
 
     # ======================= TPU-native additions =============================
     # Sliding-window inference engine
-    params['sw_batch_size'] = 2               # patches per device batch (matches train.py:158)
+    params['sw_batch_size'] = 1               # patches per device batch (measured fastest on v5e; reference uses 2)
     params['sw_overlap'] = 0.25
     params['sw_blend'] = 'constant'           # 'constant' | 'gaussian'
     params['sw_sigma_scale'] = 0.125

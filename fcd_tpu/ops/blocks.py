@@ -350,6 +350,58 @@ class AgUpBlock(nn.Module):
         )(out, train=train)
 
 
+class DsaUpBlock(nn.Module):
+    """Upsample + fuse + DSA transformer stack (conv_blocks.py:524-605):
+    transposed-conv upsample, then cat (res-block + 3 transformer blocks),
+    sum (3 transformer blocks), or cross-attention fusion."""
+
+    out_channels: int
+    input_size: int = 0            # token count of the decoder grid
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+    norm_name: str = "instance"
+    act_name: Any = ("leakyrelu", {"negative_slope": 0.01})
+    use_bias: bool = False
+    fuse: str = "cat"              # 'cat' | 'sum' | 'cross'
+    proj_size: int = 64
+    num_heads: int = 4
+    drop_rate: float = 0.0
+    depth: int = 3
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool = False):
+        from fcd_tpu.ops.attention import CrossAttentionBlock, TransformerBlock
+
+        out = ConvTranspose3d(
+            self.out_channels, kernel_size=self.upsample_kernel_size,
+            stride=self.upsample_kernel_size, use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.fuse == "cross":
+            return CrossAttentionBlock(
+                input_size=self.input_size, hidden_size=self.out_channels,
+                proj_size=self.proj_size, num_heads=self.num_heads,
+                drop_rate=self.drop_rate, dtype=self.dtype,
+            )(skip, out, train=train)
+        if self.fuse == "cat":
+            out = jnp.concatenate([out, skip], axis=-1)
+            out = UnetResBlock(
+                out_channels=self.out_channels, kernel_size=self.kernel_size,
+                stride=1, norm_name=self.norm_name, act_name=self.act_name,
+                use_bias=self.use_bias, dtype=self.dtype,
+            )(out, train=train)
+        else:
+            out = out + skip
+        for _ in range(self.depth):
+            out = TransformerBlock(
+                input_size=self.input_size, hidden_size=self.out_channels,
+                proj_size=self.proj_size, num_heads=self.num_heads,
+                dropout_rate=self.drop_rate, pos_embed=True, dtype=self.dtype,
+            )(out, train=train)
+        return out
+
+
 class MLPBlock(nn.Module):
     """Transformer MLP (MONAI MLPBlock parity: dense-gelu-drop-dense-drop)."""
 

@@ -61,6 +61,14 @@ class ModelTrainer:
         self.params = params
         self.verbose = verbose
         self.val_interval = 1
+        # determinism modes (train_utils.py:5-28 analogue): JAX is seeded via
+        # explicit PRNG keys; 'strict' additionally pins matmul precision so
+        # bf16 accumulation orders cannot vary between compilations
+        if params.get("deterministic", "seed_only") == "strict":
+            try:
+                jax.config.update("jax_default_matmul_precision", "highest")
+            except Exception:
+                pass
         self.rng = jax.random.PRNGKey(params.get("seed", 42))
 
         self.model, self.params = get_model(params)

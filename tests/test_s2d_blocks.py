@@ -106,3 +106,17 @@ def test_s2d_path_disabled_on_cpu():
     assert not _s2d_block_eligible((128, 128, 128), 16, 16, 3, 1, "instance",
                                    ("leakyrelu", {"negative_slope": 0.01}),
                                    jnp.bfloat16)
+
+
+@pytest.mark.parametrize("fuse", ["cat", "sum", "cross"])
+def test_dsa_up_block_variants(fuse):
+    from fcd_tpu.ops.blocks import DsaUpBlock
+
+    m = DsaUpBlock(out_channels=8, input_size=8 ** 3, fuse=fuse, proj_size=4,
+                   drop_rate=0.1)
+    x = jnp.ones((1, 4, 4, 4, 16))
+    skip = jnp.ones((1, 8, 8, 8, 8))
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               x, skip, train=False)
+    y = m.apply(v, x, skip, train=False)
+    assert y.shape == (1, 8, 8, 8, 8)
