@@ -102,6 +102,125 @@ def _conv_kernel(x_lo_ref, x_hi_ref, w_ref, out_ref, acc_ref):
     out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
 
 
+def make_blocked_weights_aligned(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Cin,Cout) -> (27, 8*Cin, 8*Cout) GEMM weights for the ALIGNED
+    27-tap formulation: tap (r,u,v) in {-1,0,1}^3 shifts whole s2d blocks;
+    input parity p, output parity q and kernel index k relate per axis by
+    k = 2*shift + p - q + 1 (k in 0..2)."""
+    cin, cout = w.shape[3], w.shape[4]
+    global _TAP_TABLE27
+    if _TAP_TABLE27 is None:
+        t = np.zeros((27, 8, 8, 27), np.float32)
+        shifts = [(-1, 0, 1)[i] for i in range(3)]
+        import itertools as it
+
+        for ti, (rz, ry, rx) in enumerate(it.product(shifts, repeat=3)):
+            for p in it.product(range(2), repeat=3):
+                for q in it.product(range(2), repeat=3):
+                    ks = [2 * r + pp - qq + 1 for r, pp, qq in
+                          zip((rz, ry, rx), p, q)]
+                    if all(0 <= kv <= 2 for kv in ks):
+                        ki = 9 * ks[0] + 3 * ks[1] + ks[2]
+                        pi = 4 * p[0] + 2 * p[1] + p[2]
+                        qi = 4 * q[0] + 2 * q[1] + q[2]
+                        t[ti, pi, qi, ki] = 1.0
+        _TAP_TABLE27 = t
+    table = jnp.asarray(_TAP_TABLE27, w.dtype)
+    wb = jnp.einsum("kio,tpqk->tpioq", w.reshape(27, cin, cout), table)
+    return wb.transpose(0, 1, 2, 4, 3).reshape(27, 8 * cin, 8 * cout)
+
+
+_TAP_TABLE27 = None
+
+
+def _roll_mask(x, shift: int, axis: int):
+    """Shifted read with zero boundary: out[i] = x[i + shift] (zero outside),
+    built from pltpu.roll + an iota mask (Mosaic-friendly; pad/concat are
+    not supported on non-trivial dims inside kernels)."""
+    if shift == 0:
+        return x
+    n = x.shape[axis]
+    amt = (-shift) % n
+    # Mosaic only rotates 32-bit data (bf16 packs SUBLANE pairs, so a
+    # bitcast trick would roll W in units of 2): rotate in f32
+    orig_dtype = x.dtype
+    xr = x.astype(jnp.float32) if orig_dtype == jnp.bfloat16 else x
+    rolled = pltpu.roll(xr, amt, axis)
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if shift > 0:
+        mask = ids < (n - shift)
+    else:
+        mask = ids >= (-shift)
+    out = jnp.where(mask, rolled, jnp.zeros_like(rolled))
+    return out.astype(orig_dtype)
+
+
+def _make_aligned_kernel(h2: int, w2: int, cin: int):
+    """Kernel over ALIGNED s2d rows: out row Z = sum over 27 block-shift taps
+    of (shifted slab) @ W_tap. Block shifts in D come from the three row
+    specs; H/W shifts are roll+mask reads. No reinterleave tensor ever
+    exists — the 27/8 extra matmul work is far cheaper than the HBM
+    round-trip + layout conversions it replaces."""
+
+    def kernel(x_m1_ref, x_0_ref, x_p1_ref, w_ref, out_ref, acc_ref):
+        z = pl.program_id(1)
+        n_z = pl.num_programs(1)
+        row_m1 = x_m1_ref[0, 0] * jnp.where(z > 0, 1.0, 0.0).astype(x_m1_ref.dtype)
+        row_0 = x_0_ref[0, 0]
+        row_p1 = x_p1_ref[0, 0] * jnp.where(z < n_z - 1, 1.0, 0.0).astype(
+            x_p1_ref.dtype
+        )
+        rows = {-1: row_m1, 0: row_0, 1: row_p1}
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        tap = 0
+        for r in (-1, 0, 1):
+            base = rows[r]
+            for u in (-1, 0, 1):
+                su = _roll_mask(base, u, 0)
+                for v in (-1, 0, 1):
+                    sl = _roll_mask(su, v, 1)
+                    acc_ref[...] += jax.lax.dot_general(
+                        sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    tap += 1
+        out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
+
+    return kernel
+
+
+def blocked_conv_s2d_aligned(xs: jnp.ndarray, wblk: jnp.ndarray, cin: int,
+                             cout8: int, out_dtype, interpret: bool) -> jnp.ndarray:
+    """Blocked conv consuming the ALIGNED s2d tensor (B, D2, H2, W2, 8cin)."""
+    bsz, d2, h2, w2, c8 = xs.shape
+
+    def clamp_lo(b, z):
+        return (b, jnp.maximum(z - 1, 0), 0, 0, 0)
+
+    def clamp_hi(b, z):
+        return (b, jnp.minimum(z + 1, d2 - 1), 0, 0, 0)
+
+    return pl.pallas_call(
+        _make_aligned_kernel(h2, w2, cin),
+        grid=(bsz, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2, w2, c8), clamp_lo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c8), lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c8), clamp_hi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, c8, cout8), lambda b, z: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h2, w2, cout8),
+                               lambda b, z: (b, z, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d2, h2, w2, cout8), out_dtype),
+        scratch_shapes=[pltpu.VMEM((h2, w2, cout8), jnp.float32)],
+        interpret=interpret,
+    )(xs, xs, xs, wblk)
+
+
 def _blocked_conv_s2d(xs: jnp.ndarray, wblk: jnp.ndarray, cout8: int,
                       out_dtype, interpret: bool) -> jnp.ndarray:
     bsz, d2p, h2p, w2p, c8 = xs.shape

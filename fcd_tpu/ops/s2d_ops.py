@@ -68,11 +68,16 @@ def conv3x3_s2d(xs: jnp.ndarray, w: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.
 
 
 def _conv3x3_s2d_fwd_impl(xs, w, out_dtype):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_s2d_aligned,
+        make_blocked_weights_aligned,
+    )
+
     cin, cout = w.shape[3], w.shape[4]
-    wblk = make_blocked_weights(w.astype(jnp.float32)).astype(jnp.bfloat16)
-    xp = reinterleave_to_padded(xs.astype(jnp.bfloat16), cin)
+    wblk = make_blocked_weights_aligned(w.astype(jnp.float32)).astype(jnp.bfloat16)
     interpret = jax.default_backend() != "tpu"   # CPU tests run interpreted
-    return _blocked_conv_s2d(xp, wblk, 8 * cout, out_dtype, interpret)
+    return blocked_conv_s2d_aligned(xs.astype(jnp.bfloat16), wblk, cin,
+                                    8 * cout, out_dtype, interpret)
 
 
 def _conv3x3_s2d_fwd(xs, w, out_dtype):

@@ -1,0 +1,51 @@
+"""TPU training-step benchmark at the production config (patch 128^3,
+batch = batch_size x samples_per_case, bf16, MS_DSA_NET fs16)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcd_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from fcd_tpu.config import get_default_params  # noqa: E402
+from fcd_tpu.losses.combined import make_combined_loss  # noqa: E402
+from fcd_tpu.models.factory import get_model, init_model  # noqa: E402
+from fcd_tpu.train.state import create_train_state, make_optimizer, make_train_step  # noqa: E402
+
+
+def main(batch=4, n=8):
+    params = get_default_params()
+    params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True,
+                  loss="DiceCELoss")
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    state = create_train_state(model, variables, params)
+    tx = make_optimizer(params)
+    loss_fn = make_combined_loss(params)
+    step = make_train_step(model, loss_fn, tx, donate=True)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 128, 128, 128, 2), jnp.float32)
+    y = jnp.asarray((rng.rand(batch, 128, 128, 128, 1) > 0.95), jnp.float32)
+
+    t0 = time.time()
+    state, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(0))
+    print(f"compile+first step: {time.time() - t0:.0f}s, loss={float(loss):.4f}",
+          flush=True)
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(i))
+        loss = float(loss)  # host sync each step
+    dt = (time.perf_counter() - t0) / n
+    print(f"train step (batch {batch}, 128^3): {dt*1000:.0f} ms "
+          f"-> {batch/dt:.2f} patches/s, loss={loss:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 4)
