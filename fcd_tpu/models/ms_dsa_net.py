@@ -100,20 +100,52 @@ class _MSDSACore(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        from fcd_tpu.ops.blocks import _s2d_block_eligible
+        from fcd_tpu.ops.s2d_ops import max_pool_2x_s2d_exit
+
         fs = self.feature_size
         img = _triple(self.img_size)
 
-        def encoder(feats, inp):
+        def encoder(feats, inp, emit_s2d=False):
             return UnetrBasicBlock(
                 out_channels=feats, kernel_size=3, stride=1,
                 norm_name=self.norm_name, act_name=self.act_name,
                 res_block=self.res_block, use_bias=self.use_bias,
                 dtype=self.dtype,
-            )(inp, train=train)
+            )(inp, train=train, emit_s2d=emit_s2d)
 
-        x1 = encoder(fs, x)
-        x2 = encoder(fs * 2, max_pool_2x(x1))
-        x3 = encoder(fs * 4, max_pool_2x(x2))
+        # s2d residency for the two full/half-resolution levels (HBM-bound on
+        # lane padding): encoders emit s2d, skips stay s2d all the way to the
+        # decoders, pooling consumes s2d directly, only the head leaves s2d.
+        half = tuple(s // 2 for s in x.shape[1:4])
+        use_s2d1 = (
+            self.res_block
+            and self.upsample_mode is None
+            and _s2d_block_eligible(x.shape[1:4], x.shape[-1], fs, 3, 1,
+                                    self.norm_name, self.act_name, self.dtype)
+        )
+        use_s2d2 = use_s2d1 and _s2d_block_eligible(
+            half, fs, fs * 2, 3, 1, self.norm_name, self.act_name, self.dtype
+        )
+
+        x1s = x2s = None
+        if use_s2d1:
+            x1s = encoder(fs, x, emit_s2d=True)
+            x1 = None
+            pool1 = max_pool_2x_s2d_exit(x1s, fs)
+        else:
+            x1 = encoder(fs, x)
+            pool1 = max_pool_2x(x1)
+
+        if use_s2d2:
+            x2s = encoder(fs * 2, pool1, emit_s2d=True)
+            x2 = None
+            pool2 = max_pool_2x_s2d_exit(x2s, fs * 2)
+        else:
+            x2 = encoder(fs * 2, pool1)
+            pool2 = max_pool_2x(x2)
+
+        x3 = encoder(fs * 4, pool2)
         x4 = encoder(fs * 8, max_pool_2x(x3))
         x5 = encoder(fs * 16, max_pool_2x(x4))
         x6 = encoder(fs * 32, max_pool_2x(x5))
@@ -145,14 +177,14 @@ class _MSDSACore(nn.Module):
         t5 = embed_and_attend(x5, fs * 8, fs * 4, 16, self.project_size)
         t6 = embed_and_attend(x6, fs * 16, fs * 8, 32, 32)
 
-        def decoder(feats, inp, skip):
+        def decoder(feats, inp, skip, skip_s2d=None, emit_s2d=False):
             if self.upsample_mode is None:
                 return UnetrUpBlock(
                     out_channels=feats, kernel_size=3, upsample_kernel_size=2,
                     norm_name=self.norm_name, act_name=self.act_name,
                     res_block=self.res_block, use_bias=self.use_bias,
                     dtype=self.dtype,
-                )(inp, skip, train=train)
+                )(inp, skip, train=train, skip_s2d=skip_s2d, emit_s2d=emit_s2d)
             return GeneralUnetrUpBlock(
                 out_channels=feats, kernel_size=3,
                 norm_name=self.norm_name, act_name=self.act_name,
@@ -164,11 +196,20 @@ class _MSDSACore(nn.Module):
         y5 = decoder(fs * 8, t6, t5)
         y4 = decoder(fs * 4, y5, t4)
         y3 = decoder(fs * 2, y4, t3)
-        y2 = decoder(fs * 2, y3, x2)
-        y1 = decoder(fs * 1, y2, x1)
+        y2 = decoder(fs * 2, y3, x2,
+                     skip_s2d=(x2s, fs * 2) if use_s2d2 else None)
+        y1 = decoder(fs * 1, y2, x1,
+                     skip_s2d=(x1s, fs) if use_s2d1 else None,
+                     emit_s2d=use_s2d1)
 
-        return Conv3d(self.out_channels, kernel_size=1, use_bias=True,
-                      dtype=self.dtype)(y1)
+        head = Conv3d(self.out_channels, kernel_size=1, use_bias=True,
+                      dtype=self.dtype)
+        if use_s2d1:
+            from fcd_tpu.ops.s2d_ops import from_s2d
+
+            logits_s2d = head(s2d_parts=[(y1, fs)])
+            return from_s2d(logits_s2d, self.out_channels)
+        return head(y1)
 
 
 def MS_DSA_NET(**kwargs) -> _MSDSACore:

@@ -68,7 +68,7 @@ class UnetResBlock(nn.Module):
             return self.act_name[1].get("negative_slope", 0.01)
         return 0.01
 
-    def _s2d_forward(self, parts, train: bool):
+    def _s2d_forward(self, parts, train: bool, emit_s2d: bool = False):
         from fcd_tpu.ops.s2d_ops import (
             from_s2d,
             instance_norm_s2d,
@@ -95,14 +95,17 @@ class UnetResBlock(nn.Module):
             rs = parts[0][0]
 
         out = leaky_relu_s2d(ys + rs, slope)
+        if emit_s2d:
+            return out
         return from_s2d(out, oc)
 
     @nn.compact
-    def __call__(self, x=None, *, train: bool = False, s2d_parts=None):
+    def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
+                 emit_s2d: bool = False):
         from fcd_tpu.ops.s2d_ops import to_s2d
 
         if s2d_parts is not None:
-            return self._s2d_forward(s2d_parts, train)
+            return self._s2d_forward(s2d_parts, train, emit_s2d)
 
         in_channels = x.shape[-1]
         if _s2d_block_eligible(
@@ -110,7 +113,7 @@ class UnetResBlock(nn.Module):
             self.stride, self.norm_name, self.act_name, self.dtype,
         ):
             xs = to_s2d(x.astype(jnp.bfloat16))
-            return self._s2d_forward([(xs, in_channels)], train)
+            return self._s2d_forward([(xs, in_channels)], train, emit_s2d)
 
         act = make_act(self.act_name)
         out = Conv3d(self.out_channels, self.kernel_size, self.stride,
@@ -173,9 +176,10 @@ class UnetrBasicBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
+                 emit_s2d: bool = False):
         cls = UnetResBlock if self.res_block else UnetBasicBlock
-        return cls(
+        block = cls(
             out_channels=self.out_channels,
             kernel_size=self.kernel_size,
             stride=self.stride,
@@ -183,7 +187,10 @@ class UnetrBasicBlock(nn.Module):
             act_name=self.act_name,
             use_bias=self.use_bias,
             dtype=self.dtype,
-        )(x, train=train)
+        )
+        if self.res_block:
+            return block(x, train=train, s2d_parts=s2d_parts, emit_s2d=emit_s2d)
+        return block(x, train=train)
 
 
 class UnetrUpBlock(nn.Module):
@@ -201,7 +208,8 @@ class UnetrUpBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, skip, *, train: bool = False):
+    def __call__(self, x, skip=None, *, train: bool = False, skip_s2d=None,
+                 emit_s2d: bool = False):
         transp = ConvTranspose3d(
             self.out_channels,
             kernel_size=self.upsample_kernel_size,
@@ -221,27 +229,33 @@ class UnetrUpBlock(nn.Module):
         )
 
         # s2d-resident decoder fusion: the k2s2 transposed conv is a single
-        # matmul straight into s2d layout; the skip converts once; the cat
-        # never materializes (the residual block convolves the parts
-        # separately and sums — linearity of convolution).
-        skip_c = skip.shape[-1]
+        # matmul straight into s2d layout; the skip converts once (or arrives
+        # already s2d via skip_s2d); the cat never materializes (the residual
+        # block convolves the parts separately and sums — linearity).
+        spatial = (tuple(s * 2 for s in x.shape[1:4]) if skip is None
+                   else skip.shape[1:4])
+        skip_c = skip_s2d[1] if skip_s2d is not None else skip.shape[-1]
         if (
             self.res_block
             and self.fuse == "cat"
             and self.upsample_kernel_size == 2
             and skip_c == self.out_channels
-            and _s2d_block_eligible(
-                skip.shape[1:4], 2 * self.out_channels, self.out_channels,
+            and (skip_s2d is not None or _s2d_block_eligible(
+                spatial, 2 * self.out_channels, self.out_channels,
                 self.kernel_size, 1, self.norm_name, self.act_name, self.dtype,
-            )
+            ))
         ):
             from fcd_tpu.ops.s2d_ops import to_s2d
 
             up_s2d = transp(x, emit_s2d=True)
-            skip_s2d = to_s2d(skip.astype(jnp.bfloat16))
+            if skip_s2d is not None:
+                sk = skip_s2d[0]
+            else:
+                sk = to_s2d(skip.astype(jnp.bfloat16))
             return conv_block(
                 train=train,
-                s2d_parts=[(up_s2d, self.out_channels), (skip_s2d, skip_c)],
+                s2d_parts=[(up_s2d, self.out_channels), (sk, skip_c)],
+                emit_s2d=emit_s2d,
             )
 
         out = transp(x)

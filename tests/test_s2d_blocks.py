@@ -120,3 +120,27 @@ def test_dsa_up_block_variants(fuse):
                x, skip, train=False)
     y = m.apply(v, x, skip, train=False)
     assert y.shape == (1, 8, 8, 8, 8)
+
+
+def test_ms_dsa_net_s2d_residency_matches_standard(monkeypatch):
+    """Force s2d eligibility on CPU (interpret kernels) and check the fully
+    s2d-wired MS_DSA_NET matches the standard path."""
+    import fcd_tpu.ops.blocks as blocks_mod
+    from fcd_tpu.models.ms_dsa_net import MS_DSA_NET
+
+    model = MS_DSA_NET(out_channels=2, img_size=(32, 32, 32), feature_size=8,
+                       project_size=8, dropout_rate=0.0, dtype=None)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 32, 2), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    want = np.asarray(model.apply(v, x, train=False))
+
+    def permissive(dims, cin, cout, k, s, norm, act, dtype):
+        from fcd_tpu.ops.s2d_ops import s2d_supported
+
+        return (k == 3 and s == 1 and norm == "instance"
+                and s2d_supported(dims, cin, cout))
+
+    monkeypatch.setattr(blocks_mod, "_s2d_block_eligible", permissive)
+    got = np.asarray(model.apply(v, x, train=False))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.06 * scale)
