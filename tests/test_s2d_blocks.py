@@ -144,3 +144,26 @@ def test_ms_dsa_net_s2d_residency_matches_standard(monkeypatch):
     got = np.asarray(model.apply(v, x, train=False))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=0.06 * scale)
+
+
+def test_conv3x3_s2d_gradients_match_reference():
+    from fcd_tpu.kernels.block_conv import reference_conv3x3
+    from fcd_tpu.ops.s2d_ops import conv3x3_s2d
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (1, 8, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 16, 16), jnp.float32) * 0.1
+    t = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 8, 16), jnp.float32)
+
+    def loss_s2d(x, w):
+        return jnp.sum(from_s2d(conv3x3_s2d(to_s2d(x), w, jnp.float32), 16) * t)
+
+    def loss_ref(x, w):
+        return jnp.sum(reference_conv3x3(x, w) * t)
+
+    gx_f, gw_f = jax.grad(loss_s2d, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=0.05 * float(jnp.abs(gx_r).max()))
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               atol=0.05 * float(jnp.abs(gw_r).max()))
