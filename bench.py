@@ -40,11 +40,18 @@ def main() -> None:
     from fcd_tpu.models.factory import get_model, init_model
     from fcd_tpu.train.state import make_eval_fn
 
+    from fcd_tpu.infer.sliding_window import patch_s2d_compatible
+
     params = get_default_params()
     params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True)
     model, params = get_model(params)
     variables = init_model(model, params, seed=0)
-    predict_v = make_eval_fn(model)
+    use_s2d_patches = (
+        getattr(model, "supports_s2d_input", False)
+        and jax.default_backend() == "tpu"
+        and patch_s2d_compatible(VOL_SHAPE[:3], (128, 128, 128), params["sw_overlap"])
+    )
+    predict_v = make_eval_fn(model, x_is_s2d=use_s2d_patches)
 
     def predictor(patches):
         return predict_v(variables, patches)
@@ -62,6 +69,7 @@ def main() -> None:
             overlap=params["sw_overlap"],
             blend=params["sw_blend"],
             compute_dtype=jnp.bfloat16,
+            patch_s2d=use_s2d_patches,
         )
         # force completion: the axon relay backend's block_until_ready is
         # async; a tiny host fetch is the reliable sync point

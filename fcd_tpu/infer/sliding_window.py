@@ -72,7 +72,7 @@ def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> 
 @functools.partial(
     jax.jit,
     static_argnames=("predictor", "roi_size", "sw_batch", "out_channels", "blend",
-                     "sigma_scale", "compute_dtype"),
+                     "sigma_scale", "compute_dtype", "patch_s2d"),
 )
 def _sliding_window_jit(
     volume: jnp.ndarray,            # (D, H, W, C) already padded to >= roi
@@ -86,6 +86,7 @@ def _sliding_window_jit(
     blend: str,
     sigma_scale: float,
     compute_dtype,
+    patch_s2d: bool = False,
 ):
     d, h, w, c = volume.shape
     rd, rh, rw = roi_size
@@ -102,9 +103,24 @@ def _sliding_window_jit(
     cnt = jnp.zeros((d, h, w, 1), jnp.float32)
 
     vol_c = volume.astype(compute_dtype)
+    if patch_s2d:
+        # one volume-level s2d transform; patches gather lane-dense slabs
+        # (starts are even: even roi, interval = 0.75*roi, even padded dims)
+        from fcd_tpu.kernels.block_conv import space_to_depth
 
-    def gather(start):
-        return jax.lax.dynamic_slice(vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c))
+        vol_c = space_to_depth(vol_c[None])[0]
+
+        def gather(start):
+            return jax.lax.dynamic_slice(
+                vol_c,
+                (start[0] // 2, start[1] // 2, start[2] // 2, 0),
+                (rd // 2, rh // 2, rw // 2, 8 * c),
+            )
+    else:
+        def gather(start):
+            return jax.lax.dynamic_slice(
+                vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
+            )
 
     def body(carry, batch_idx):
         acc, cnt = carry
@@ -132,6 +148,17 @@ def _sliding_window_jit(
     return acc / jnp.maximum(cnt, 1e-8)
 
 
+def patch_s2d_compatible(shape, roi_size, overlap: float) -> bool:
+    """Whether the s2d patch-gather fast path applies: even dims/rois and an
+    even patch interval (so every grid start is even and the MONAI-parity
+    grid is unchanged)."""
+    if any(int(s) % 2 for s in shape[:3]) or any(int(r) % 2 for r in roi_size):
+        return False
+    if any(max(int(r * (1.0 - overlap)), 1) % 2 for r in roi_size):
+        return False
+    return True
+
+
 def sliding_window_inference(
     volume: jnp.ndarray,
     predictor: Callable,
@@ -143,17 +170,27 @@ def sliding_window_inference(
     blend: str = "constant",
     sigma_scale: float = 0.125,
     compute_dtype=jnp.float32,
+    patch_s2d: bool = False,
 ) -> jnp.ndarray:
     """Run `predictor` over a (D, H, W, C) volume in overlapping roi-size
     patches and blend the logits. Returns (D, H, W, out_channels) float32.
 
     The predictor must map (B, rd, rh, rw, C) -> (B, rd, rh, rw, out_channels)
-    and should already be parameter-bound (and jittable).
+    and should already be parameter-bound (and jittable). With
+    patch_s2d=True the volume is space-to-depth'd once and the predictor
+    receives (B, rd/2, rh/2, rw/2, 8C) lane-dense patches instead — the
+    fast path for models with supports_s2d_input.
     """
     roi_size = tuple(int(r) for r in roi_size)
     d, h, w, c = volume.shape
     pad = [max(r - s, 0) for r, s in zip(roi_size, (d, h, w))]
     padded = volume
+    if patch_s2d:
+        if not patch_s2d_compatible((d, h, w), roi_size, overlap):
+            raise ValueError(
+                "patch_s2d requires even rois, an even patch interval and "
+                "even volume dims; check patch_s2d_compatible first"
+            )
     if any(pad):
         # symmetric padding (MONAI pads half before, half after)
         cfg = [(p // 2, p - p // 2) for p in pad] + [(0, 0)]
@@ -179,6 +216,7 @@ def sliding_window_inference(
         blend=blend,
         sigma_scale=sigma_scale,
         compute_dtype=compute_dtype,
+        patch_s2d=patch_s2d,
     )
     if any(pad):
         sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))

@@ -98,39 +98,56 @@ class _MSDSACore(nn.Module):
     upsample_mode: Optional[str] = None
     dtype: Optional[Any] = None
 
+    # sliding-window engines may feed patches already in s2d layout
+    supports_s2d_input = True
+
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, x_is_s2d: bool = False):
         from fcd_tpu.ops.blocks import _s2d_block_eligible
-        from fcd_tpu.ops.s2d_ops import max_pool_2x_s2d_exit
+        from fcd_tpu.ops.s2d_ops import from_s2d, max_pool_2x_s2d_exit
 
         fs = self.feature_size
         img = _triple(self.img_size)
 
-        def encoder(feats, inp, emit_s2d=False):
+        if x_is_s2d:
+            cin = x.shape[-1] // 8
+            full = tuple(s * 2 for s in x.shape[1:4])
+        else:
+            cin = x.shape[-1]
+            full = x.shape[1:4]
+
+        def encoder(feats, inp, emit_s2d=False, s2d_parts=None):
             return UnetrBasicBlock(
                 out_channels=feats, kernel_size=3, stride=1,
                 norm_name=self.norm_name, act_name=self.act_name,
                 res_block=self.res_block, use_bias=self.use_bias,
                 dtype=self.dtype,
-            )(inp, train=train, emit_s2d=emit_s2d)
+            )(inp, train=train, emit_s2d=emit_s2d, s2d_parts=s2d_parts)
 
         # s2d residency for the two full/half-resolution levels (HBM-bound on
         # lane padding): encoders emit s2d, skips stay s2d all the way to the
         # decoders, pooling consumes s2d directly, only the head leaves s2d.
-        half = tuple(s // 2 for s in x.shape[1:4])
+        half = tuple(s // 2 for s in full)
         use_s2d1 = (
             self.res_block
             and self.upsample_mode is None
-            and _s2d_block_eligible(x.shape[1:4], x.shape[-1], fs, 3, 1,
+            and _s2d_block_eligible(full, cin, fs, 3, 1,
                                     self.norm_name, self.act_name, self.dtype)
         )
         use_s2d2 = use_s2d1 and _s2d_block_eligible(
             half, fs, fs * 2, 3, 1, self.norm_name, self.act_name, self.dtype
         )
 
+        if x_is_s2d and not use_s2d1:
+            x = from_s2d(x, cin)
+            x_is_s2d = False
+
         x1s = x2s = None
         if use_s2d1:
-            x1s = encoder(fs, x, emit_s2d=True)
+            if x_is_s2d:
+                x1s = encoder(fs, None, emit_s2d=True, s2d_parts=[(x, cin)])
+            else:
+                x1s = encoder(fs, x, emit_s2d=True)
             x1 = None
             pool1 = max_pool_2x_s2d_exit(x1s, fs)
         else:

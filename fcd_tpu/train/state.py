@@ -112,16 +112,20 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
-def make_eval_fn(model, *, model_returns_vaeloss: bool = False) -> Callable:
+def make_eval_fn(model, *, model_returns_vaeloss: bool = False,
+                 x_is_s2d: bool = False) -> Callable:
     """Parameter-bound jittable predictor (B,...,C_in)->(B,...,C_out) logits,
-    for direct eval and as the sliding-window predictor."""
+    for direct eval and as the sliding-window predictor. With x_is_s2d the
+    model consumes space-to-depth patches (models with supports_s2d_input)."""
 
     def predict(variables, image):
+        kwargs = {"x_is_s2d": True} if x_is_s2d else {}
         out = model.apply(
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", FrozenDict())},
             image,
             train=False,
+            **kwargs,
         )
         if model_returns_vaeloss and isinstance(out, tuple):
             out = out[0]

@@ -87,6 +87,7 @@ class ModelTrainer:
         self.predict = make_eval_fn(
             self.model, model_returns_vaeloss=self.params["model_returns_vaeloss"]
         )
+        self._predict_s2d = None
         self.wandb = _get_wandb(params)
         self.init_stats()
 
@@ -133,11 +134,32 @@ class ModelTrainer:
 
     def inference(self, volume: np.ndarray) -> jnp.ndarray:
         """Sliding-window logits over a (D, H, W, C) volume
-        (train.py:148-165 parity: roi=patch, overlap .25)."""
+        (train.py:148-165 parity: roi=patch, overlap .25). Feeds the model
+        s2d patches when it supports them (lane-dense gathers)."""
+        from fcd_tpu.infer.sliding_window import patch_s2d_compatible
+
         p = self.params
+        roi = _triple(p["patch_size"])
+        overlap = p.get("sw_overlap", 0.25)
+        use_s2d_patches = (
+            getattr(self.model, "supports_s2d_input", False)
+            and p.get("use_amp", True)
+            and jax.default_backend() == "tpu"
+            and patch_s2d_compatible(volume.shape[:3], roi, overlap)
+        )
+        if use_s2d_patches:
+            if self._predict_s2d is None:
+                self._predict_s2d = make_eval_fn(
+                    self.model,
+                    model_returns_vaeloss=self.params["model_returns_vaeloss"],
+                    x_is_s2d=True,
+                )
+            predict = self._predict_s2d
+        else:
+            predict = self.predict
 
         def predictor(patches):
-            return self.predict(self.variables, patches)
+            return predict(self.variables, patches)
 
         compute_dtype = (
             jnp.bfloat16 if p.get("use_amp", True) else jnp.float32
@@ -145,13 +167,14 @@ class ModelTrainer:
         return sliding_window_inference(
             jnp.asarray(volume),
             predictor,
-            roi_size=_triple(p["patch_size"]),
+            roi_size=roi,
             out_channels=p["chans_out"],
             sw_batch=p.get("sw_batch_size", 2),
-            overlap=p.get("sw_overlap", 0.25),
+            overlap=overlap,
             blend=p.get("sw_blend", "constant"),
             sigma_scale=p.get("sw_sigma_scale", 0.125),
             compute_dtype=compute_dtype,
+            patch_s2d=use_s2d_patches,
         )
 
     def _activate(self, logits: np.ndarray) -> np.ndarray:

@@ -167,3 +167,15 @@ def test_conv3x3_s2d_gradients_match_reference():
                                atol=0.05 * float(jnp.abs(gx_r).max()))
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                atol=0.05 * float(jnp.abs(gw_r).max()))
+
+
+def test_ms_dsa_net_s2d_input_matches_dense_input():
+    from fcd_tpu.models.ms_dsa_net import MS_DSA_NET
+
+    model = MS_DSA_NET(out_channels=2, img_size=(32, 32, 32), feature_size=8,
+                       project_size=8, dropout_rate=0.0, dtype=None)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 32, 2), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    want = np.asarray(model.apply(v, x, train=False))
+    got = np.asarray(model.apply(v, to_s2d(x), train=False, x_is_s2d=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -75,3 +75,31 @@ def test_small_volume_padding_roundtrip():
     assert out.shape == (10, 12, 40, 2)
     want = np.asarray(_voxelwise_predictor(vol))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_patch_s2d_gather_matches_dense():
+    from fcd_tpu.infer.sliding_window import patch_s2d_compatible
+    from fcd_tpu.kernels.block_conv import depth_to_space
+
+    rng = np.random.RandomState(3)
+    vol = jnp.asarray(rng.rand(24, 32, 24, 2).astype(np.float32))
+    assert patch_s2d_compatible(vol.shape[:3], (16, 16, 16), 0.25)
+
+    def s2d_predictor(patches_s2d):
+        dense = depth_to_space(patches_s2d, 2)
+        return _voxelwise_predictor(dense)
+
+    got = sliding_window_inference(
+        vol, s2d_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25, patch_s2d=True,
+    )
+    want = np.asarray(_voxelwise_predictor(vol))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_patch_s2d_compatibility_rules():
+    from fcd_tpu.infer.sliding_window import patch_s2d_compatible
+
+    assert patch_s2d_compatible((182, 218, 182), (128, 128, 128), 0.25)
+    assert not patch_s2d_compatible((183, 218, 182), (128, 128, 128), 0.25)
+    assert not patch_s2d_compatible((182, 218, 182), (127, 128, 128), 0.25)
