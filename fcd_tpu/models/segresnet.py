@@ -25,15 +25,38 @@ from fcd_tpu.ops.layers import Conv3d, Dense, UpSample, make_act, make_norm
 
 class ResBlock(nn.Module):
     """Pre-activation residual block (MONAI segresnet_block.ResBlock parity):
-    norm-act-conv-norm-act-conv + identity."""
+    norm-act-conv-norm-act-conv + identity. Runs s2d-resident on TPU/bf16
+    with instance norm (same machinery as ops.blocks.UnetResBlock)."""
 
     channels: int
     norm: str = "instance"
     act: Any = ("relu", {})
     dtype: Optional[Any] = None
 
+    def _s2d_forward(self, xs):
+        from fcd_tpu.ops.s2d_ops import from_s2d, instance_norm_s2d, leaky_relu_s2d
+
+        c = self.channels
+        name = (self.act[0] if isinstance(self.act, (tuple, list))
+                else str(self.act)).lower()
+        slope = 0.0 if name == "relu" else 0.01
+        y = instance_norm_s2d(xs, c)
+        y = leaky_relu_s2d(y, slope)
+        y = Conv3d(c, 3, 1, use_bias=False, dtype=self.dtype)(s2d_parts=[(y, c)])
+        y = instance_norm_s2d(y, c)
+        y = leaky_relu_s2d(y, slope)
+        y = Conv3d(c, 3, 1, use_bias=False, dtype=self.dtype)(s2d_parts=[(y, c)])
+        return from_s2d(y + xs, c)
+
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        from fcd_tpu.ops.blocks import _s2d_block_eligible
+        from fcd_tpu.ops.s2d_ops import to_s2d
+
+        if _s2d_block_eligible(x.shape[1:4], self.channels, self.channels, 3, 1,
+                               self.norm, self.act, self.dtype):
+            return self._s2d_forward(to_s2d(x.astype(jnp.bfloat16)))
+
         act = make_act(self.act)
         y = make_norm(self.norm, self.channels, use_running_average=not train)(x)
         y = act(y)

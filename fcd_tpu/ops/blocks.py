@@ -39,7 +39,7 @@ def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
     if kernel_size != 3 or stride != 1 or norm_name != "instance":
         return False
     name = act_name[0] if isinstance(act_name, (tuple, list)) else str(act_name)
-    if name.lower() != "leakyrelu":
+    if name.lower() not in ("leakyrelu", "relu"):
         return False
     from fcd_tpu.ops.s2d_ops import s2d_supported
 
@@ -64,6 +64,10 @@ class UnetResBlock(nn.Module):
     dtype: Optional[Any] = None
 
     def _neg_slope(self) -> float:
+        name = (self.act_name[0] if isinstance(self.act_name, (tuple, list))
+                else str(self.act_name)).lower()
+        if name == "relu":
+            return 0.0
         if isinstance(self.act_name, (tuple, list)) and len(self.act_name) > 1:
             return self.act_name[1].get("negative_slope", 0.01)
         return 0.01

@@ -179,3 +179,25 @@ def test_ms_dsa_net_s2d_input_matches_dense_input():
     want = np.asarray(model.apply(v, x, train=False))
     got = np.asarray(model.apply(v, to_s2d(x), train=False, x_is_s2d=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_segresnet_resblock_s2d_matches_standard(monkeypatch):
+    import fcd_tpu.models.segresnet as seg_mod
+    from fcd_tpu.models.segresnet import ResBlock
+
+    block = ResBlock(channels=16, norm="instance", act=("relu", {}), dtype=None)
+    x = jnp.asarray(np.random.RandomState(8).rand(1, 16, 16, 16, 16), jnp.float32)
+    v = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    want = np.asarray(block.apply(v, x, train=False))
+
+    import fcd_tpu.ops.blocks as blocks_mod
+
+    def permissive(dims, cin, cout, k, s, norm, act, dtype):
+        from fcd_tpu.ops.s2d_ops import s2d_supported
+
+        return k == 3 and s == 1 and norm == "instance" and s2d_supported(dims, cin, cout)
+
+    monkeypatch.setattr(blocks_mod, "_s2d_block_eligible", permissive)
+    got = np.asarray(block.apply(v, x, train=False))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
