@@ -1,19 +1,22 @@
-"""Pallas TPU kernel: 3x3x3 conv via output-block GEMMs in space-to-depth form.
+"""Pallas TPU kernels: 3x3x3 conv as output-block GEMMs in s2d form.
 
-Why: XLA's direct 3D conv at the U-Net's top levels (C=16..32 on 128^3
-grids) runs at ~2-4% MFU — a 16-channel contraction/output cannot fill
-the 128-lane MXU (measured: conv 16->16 @128^3 = 14.3 ms on v5e).
-Re-blocking so one GEMM row produces a 2x2x2 *block* of output voxels
-turns the conv into [H/2*W/2, 8C] x [8C, 8C_out] matmuls with every
-dimension >= 128 — full MXU tiles at a fixed 64/27 = 2.37x FLOP
-redundancy. Measured: 2.78 ms for the same conv, a 5.1x speedup.
+Why: any channels-last tensor with C < 128 is lane-padded to 128 in HBM,
+and XLA's direct 3D conv at the U-Net's top levels (C=16..32 on 128^3
+grids) cannot fill the 128-lane MXU with a 16-wide contraction/output.
+Re-blocking so one GEMM row computes a 2x2x2 *block* of output voxels
+turns the conv into [H/2*W/2, 8C] x [8C, 8C'] matmuls with every
+dimension >= 128 — full MXU tiles at a fixed FLOP redundancy.
 
-Form: with x zero-padded by 1 and space-to-depth'd (parity-major channel
-blocks of 8C), the im2col patch of an output block is the concatenation
-of the 8 unit-shifted (0/+1 per axis) s2d voxels. The kernel streams one
-(batch, depth-row) slab at a time; H/W shifts are expressed as operand
-slices feeding dot_general directly (hoisting them into separate copies
-or reshapes is 2-5x slower in Mosaic).
+Two formulations:
+- padded-frame (8 taps, `blocked_conv3x3`): input zero-padded by 1 then
+  s2d'd so every patch is the concat of 8 unit-shifted s2d voxels. The
+  reinterleave/pad HBM round-trips around the kernel cost more than the
+  matmuls — kept for the standalone conv API and as the reference form.
+- ALIGNED (27 taps, `blocked_conv_s2d_aligned`): consumes the aligned s2d
+  tensor directly; depth shifts come from three clamped row specs, H/W
+  shifts are roll+mask reads inside VMEM. 27/8 more matmul work but no
+  layout round-trip — the production path (ops.s2d_ops.conv3x3_s2d),
+  measured ~2.5x faster end-to-end on v5e.
 """
 
 from __future__ import annotations

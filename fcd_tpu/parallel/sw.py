@@ -34,12 +34,19 @@ def sharded_sliding_window_inference(
     sigma_scale: float = 0.125,
     compute_dtype=jnp.float32,
     axis: str = "data",
+    patch_s2d: bool = False,
 ) -> jnp.ndarray:
     """Like infer.sliding_window_inference but with the patch grid sharded
     over `axis` of `mesh`. Returns the blended (D, H, W, out_channels)
-    logits, replicated."""
+    logits, replicated. patch_s2d feeds the predictor lane-dense s2d
+    patches (see infer.sliding_window.patch_s2d_compatible)."""
     roi_size = tuple(int(r) for r in roi_size)
     d, h, w, c = volume.shape
+    if patch_s2d:
+        from fcd_tpu.infer.sliding_window import patch_s2d_compatible
+
+        if not patch_s2d_compatible((d, h, w), roi_size, overlap):
+            raise ValueError("patch_s2d incompatible with volume/roi/overlap")
     pad = [max(r - s, 0) for r, s in zip(roi_size, (d, h, w))]
     padded = volume
     if any(pad):
@@ -71,10 +78,22 @@ def sharded_sliding_window_inference(
         cnt = jnp.zeros((pd, ph, pw, 1), jnp.float32)
         vol_c = vol.astype(compute_dtype)
 
-        def gather(start):
-            return jax.lax.dynamic_slice(
-                vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
-            )
+        if patch_s2d:
+            from fcd_tpu.kernels.block_conv import space_to_depth
+
+            vol_s = space_to_depth(vol_c[None])[0]
+
+            def gather(start):
+                return jax.lax.dynamic_slice(
+                    vol_s,
+                    (start[0] // 2, start[1] // 2, start[2] // 2, 0),
+                    (rd // 2, rh // 2, rw // 2, 8 * c),
+                )
+        else:
+            def gather(start):
+                return jax.lax.dynamic_slice(
+                    vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
+                )
 
         def body(carry, i):
             acc, cnt = carry

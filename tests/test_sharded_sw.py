@@ -43,3 +43,20 @@ def test_sharded_gaussian_blend(mesh):
     )
     want = np.asarray(_predictor(vol))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_sharded_patch_s2d_matches_dense(mesh):
+    from fcd_tpu.kernels.block_conv import depth_to_space
+
+    rng = np.random.RandomState(2)
+    vol = jnp.asarray(rng.rand(24, 32, 24, 2).astype(np.float32))
+
+    def s2d_predictor(patches_s2d):
+        return _predictor(depth_to_space(patches_s2d, 2))
+
+    got = sharded_sliding_window_inference(
+        vol, s2d_predictor, mesh, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25, patch_s2d=True,
+    )
+    want = np.asarray(_predictor(vol))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
