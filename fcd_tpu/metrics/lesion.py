@@ -57,14 +57,27 @@ def calculate_lesion_wise_metrics(
     voxel_spacing=(1.0, 1.0, 1.0),
     lesion_volume_thresh: int = 0,
     penalty_distance: float = 374,
+    extended: bool = False,
 ) -> Dict[str, float]:
     """metrics.py:162-360 parity: per-GT-lesion matching against 3x-dilated
     masks, lesion Dice + area-weighted HD95, FP counting, macro + micro
-    aggregation, subject-level sensitivity."""
+    aggregation, subject-level sensitivity.
+
+    With extended=True the BraTS-style penalized aggregates the reference
+    computes (metrics.py:274-287, 314-316, 339-343: FP lesions count as
+    Dice 0 / HD95 `penalty_distance`, unmatched-GT NaNs corrected the same
+    way) and the per-subject macro Prec/Sens/F1/Dice/HD95
+    (metrics.py:263-269, 289-306) are added to the returned dict. The
+    reference builds NaN-corrected micro lists (metrics.py:339, 342) but
+    then averages the uncorrected ones — an evident slip; we average the
+    corrected lists, which is the BraTS-defined penalized statistic.
+    """
     results: List[Dict[str, float]] = []
     micro_tp = micro_fp = micro_fn = 0
     micro_dice_matched: List[float] = []
     micro_hd95_matched: List[float] = []
+    micro_dice_penalized: List[float] = []
+    micro_hd95_penalized: List[float] = []
     sx, sy, sz = voxel_spacing
     subject_tp_count = subject_fn_count = 0
 
@@ -124,13 +137,57 @@ def calculate_lesion_wise_metrics(
 
         tp, fp, fn = len(tp_ids), len(fp_ids), len(fn_ids)
 
-        results.append({"Lesion_FP": fp, "Lesion_FN": fn})
+        row = {"Lesion_FP": fp, "Lesion_FN": fn}
+        if extended:
+            # per-subject matched-only means (metrics.py:263-269)
+            matched = [m for m in lesion_metrics
+                       if not np.isnan(m.dice_score) and not np.isnan(m.hd95)]
+            dice_matched = float(np.mean([m.dice_score for m in matched])) if matched else np.nan
+            hd95_matched = float(np.mean([m.hd95 for m in matched])) if matched else np.nan
+            # per-subject penalized aggregates (metrics.py:271-287): FP
+            # lesions score Dice 0 / HD95 penalty; unmatched-GT NaNs likewise
+            fn_count = int(np.sum([1 for m in lesion_metrics if np.isnan(m.dice_score)]))
+            denom = len(lesion_metrics) + fp + fn_count
+            if denom > 0:
+                dice_pen = (
+                    float(np.sum([0.0 if np.isnan(m.dice_score) else m.dice_score
+                                  for m in lesion_metrics])) / denom
+                )
+                hd95_pen = (
+                    float(np.sum([penalty_distance if np.isnan(m.hd95) else m.hd95
+                                  for m in lesion_metrics]))
+                    + fp * penalty_distance
+                ) / denom
+            else:
+                dice_pen, hd95_pen = 1.0, 0.0
+            # per-subject detection rates (metrics.py:289-293)
+            sens_s = tp / (tp + fn) if (tp + fn) > 0 else 1.0
+            prec_s = tp / (tp + fp) if (tp + fp) > 0 else 1.0
+            f1_s = 2 * sens_s * prec_s / (sens_s + prec_s) if (sens_s + prec_s) > 0 else 0.0
+            row.update({
+                "Lesion_Prec_macro": prec_s,
+                "Lesion_Sens_macro": sens_s,
+                "Lesion_F1_macro": f1_s,
+                "Lesion_Dice_macro": dice_matched,
+                "Lesion_Dice_penalized_macro": dice_pen,
+                "Lesion_HD95_macro": hd95_matched,
+                "Lesion_HD95_penalized_macro": hd95_pen,
+            })
+        results.append(row)
 
         micro_tp += tp
         micro_fp += fp
         micro_fn += fn
         micro_dice_matched.extend(m.dice_score for m in lesion_metrics)
         micro_hd95_matched.extend(m.hd95 for m in lesion_metrics)
+        # penalized micro lists include one penalty entry per FP lesion
+        # (metrics.py:314-316)
+        micro_dice_penalized.extend(
+            [m.dice_score for m in lesion_metrics] + [0.0] * fp
+        )
+        micro_hd95_penalized.extend(
+            [m.hd95 for m in lesion_metrics] + [penalty_distance] * fp
+        )
 
         if gt.sum() > 0:
             if tp > 0:
@@ -157,15 +214,31 @@ def calculate_lesion_wise_metrics(
         else np.nan
     )
 
-    return {
+    out = {
         **macro,
         "Lesion_Prec": prec,
         "Lesion_Sens": sens,
         "Lesion_F1": f1,
         "Lesion_Dice": dice_micro,
-        "Lesion_HD95": hd95_micro,
-        "sSens": s_sens,
     }
+    if extended:
+        # micro penalized means over the NaN-corrected lists
+        # (metrics.py:339-343; see docstring on the reference's unused
+        # corrected variables)
+        dice_pen_corr = [0.0 if np.isnan(d) else d for d in micro_dice_penalized]
+        hd95_pen_corr = [
+            penalty_distance if np.isnan(d) else d for d in micro_hd95_penalized
+        ]
+        out["Lesion_Dice_penalized"] = (
+            float(np.mean(dice_pen_corr)) if dice_pen_corr else 1.0
+        )
+    out["Lesion_HD95"] = hd95_micro
+    if extended:
+        out["Lesion_HD95_penalized"] = (
+            float(np.mean(hd95_pen_corr)) if hd95_pen_corr else 0.0
+        )
+    out["sSens"] = s_sens
+    return out
 
 
 def calculate_subject_level_metrics(

@@ -62,14 +62,20 @@ class EmissionsTracker:
             with open(path, "a", newline="") as f:
                 w = csv.writer(f)
                 if not exists:
+                    # columns are explicitly *_estimated: this tracker does
+                    # not measure power, it multiplies wall time by an
+                    # assumed device envelope (unlike CodeCarbon's RAPL/NVML
+                    # readings in the reference, train.py:470-485)
                     w.writerow(
                         ["timestamp", "project_name", "duration_s",
-                         "power_w", "energy_kwh", "emissions_kg", "note"]
+                         "assumed_power_w", "energy_kwh_estimated",
+                         "emissions_kg_estimated", "estimation_method"]
                     )
                 w.writerow(
                     [time.strftime("%Y-%m-%dT%H:%M:%S"), self.project_name,
                      f"{duration_s:.2f}", self.power_w,
                      f"{self.final_energy_kwh:.6f}", f"{self.final_emissions:.6f}",
-                     "estimated from wall time x device power envelope"]
+                     f"wall_time x {self.power_w}W device envelope x "
+                     f"{CARBON_INTENSITY_KG_PER_KWH} kgCO2eq/kWh world-avg grid"]
                 )
         return False

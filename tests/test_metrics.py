@@ -122,6 +122,47 @@ def test_lesion_metrics_nearby_pred_matches_via_dilation():
     assert 0 < m["Lesion_Dice"] < 1
 
 
+def test_lesion_metrics_penalized_golden():
+    """Hand-computed penalized aggregates (reference metrics.py:274-343).
+
+    Subject A: one GT lesion matched exactly (dice 1, hd95 0) + one distant
+    FP lesion. Subject B: one GT lesion entirely missed.
+      A: denom = 1 lesion + 1 FP + 0 FN -> dice_pen = 1/2, hd95_pen = 374/2
+      B: denom = 1 lesion + 0 FP + 1 FN -> dice_pen = 0/2, hd95_pen = 374/2
+      micro lists (NaN-corrected): dice [1, 0(FP), 0(B)] -> 1/3,
+      hd95 [0, 374(FP), 374(B)] -> 2*374/3
+    """
+    shape = (24, 24, 24)
+    gt = np.zeros(shape, np.float32)
+    gt[4:9, 4:9, 4:9] = 1
+    pred_a = gt.copy()
+    pred_a[16:20, 16:20, 16:20] = 1  # far outside the 6-voxel dilation reach
+    pred_b = np.zeros(shape, np.float32)
+
+    m = calculate_lesion_wise_metrics([pred_a, pred_b], [gt, gt], extended=True)
+    assert m["Lesion_Dice_penalized_macro"] == pytest.approx(0.25)
+    assert m["Lesion_HD95_penalized_macro"] == pytest.approx(187.0)
+    assert m["Lesion_Dice_penalized"] == pytest.approx(1 / 3)
+    assert m["Lesion_HD95_penalized"] == pytest.approx(2 * 374 / 3)
+    assert m["Lesion_Prec_macro"] == pytest.approx(0.75)   # mean(1/2, 1)
+    assert m["Lesion_Sens_macro"] == pytest.approx(0.5)    # mean(1, 0)
+    assert m["Lesion_F1_macro"] == pytest.approx(1 / 3)    # mean(2/3, 0)
+    assert m["Lesion_Dice_macro"] == pytest.approx(1.0)    # nanmean(1, nan)
+    assert m["Lesion_HD95_macro"] == pytest.approx(0.0)
+    assert m["Lesion_FP"] == 0.5 and m["Lesion_FN"] == 0.5
+
+    # custom penalty distance actually flows through
+    m2 = calculate_lesion_wise_metrics(
+        [pred_a, pred_b], [gt, gt], extended=True, penalty_distance=100.0
+    )
+    assert m2["Lesion_HD95_penalized"] == pytest.approx(200 / 3)
+
+    # default call keeps the reference's returned-dict surface
+    m0 = calculate_lesion_wise_metrics([pred_a, pred_b], [gt, gt])
+    assert "Lesion_Dice_penalized" not in m0
+    assert "Lesion_Prec_macro" not in m0
+
+
 def test_subject_level_metrics():
     gt = np.zeros((16, 16, 16), np.float32); gt[2:5, 2:5, 2:5] = 1
     hit = gt.copy()

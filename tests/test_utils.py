@@ -41,6 +41,12 @@ def test_emissions_tracker_writes_csv(tmp_path):
     assert tr.final_emissions > 0
     lines = (tmp_path / "e.csv").read_text().strip().splitlines()
     assert lines[0].startswith("timestamp")
+    # the CSV must declare itself an estimate, not a measurement
+    assert "energy_kwh_estimated" in lines[0]
+    assert "emissions_kg_estimated" in lines[0]
+    assert "assumed_power_w" in lines[0]
+    assert "estimation_method" in lines[0]
+    assert "100.0W device envelope" in lines[1]
     assert len(lines) == 2
 
 
