@@ -123,14 +123,14 @@ def sharded_sliding_window_inference(
         cnt = jax.lax.psum(cnt, axis)
         return acc / jnp.maximum(cnt, 1e-8)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         local_sw,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     out = jax.jit(fn)(padded, jnp.asarray(starts), jnp.asarray(valid))
     if any(pad):

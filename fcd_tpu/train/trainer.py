@@ -78,18 +78,54 @@ class ModelTrainer:
         self.state = create_train_state(self.model, variables, self.params)
         self.tx = make_optimizer(self.params)
         self.loss_fn = make_combined_loss(self.params)
-        self.train_step = make_train_step(
-            self.model, self.loss_fn, self.tx,
+
+        # Device mesh (params['mesh_data'] / --devices, -1 = all): when more
+        # than one device is in play, training runs the NamedSharding-jitted
+        # DP step (batch over 'data', state replicated, XLA psum over ICI)
+        # and inference shards the sliding-window patch grid (parallel/).
+        self.mesh = self._build_mesh()
+        step_kwargs = dict(
             model_returns_vaeloss=self.params["model_returns_vaeloss"],
             loss_vae_weight=self.params.get("loss_vae_weight", 0.2),
             donate=self.params.get("donate_buffers", True),
         )
+        if self.mesh is not None:
+            from fcd_tpu.parallel.dp import make_dp_train_step, replicate_state
+
+            self.train_step = make_dp_train_step(
+                self.model, self.loss_fn, self.tx, self.mesh, **step_kwargs
+            )
+            # exact-numerics fallback for a ragged final batch that does not
+            # divide over the mesh (replicated state works in a plain step)
+            self._ragged_step = make_train_step(
+                self.model, self.loss_fn, self.tx,
+                **{**step_kwargs, "donate": False},
+            )
+            self.state = replicate_state(self.state, self.mesh)
+        else:
+            self.train_step = make_train_step(
+                self.model, self.loss_fn, self.tx, **step_kwargs
+            )
         self.predict = make_eval_fn(
             self.model, model_returns_vaeloss=self.params["model_returns_vaeloss"]
         )
         self._predict_s2d = None
         self.wandb = _get_wandb(params)
         self.init_stats()
+
+    def _build_mesh(self):
+        """Resolve params['mesh_data'] (--devices, -1 = all) to a 'data' mesh,
+        or None single-device. Batches that do not divide over the mesh take
+        the exact-numerics _ragged_step fallback; a steady-state warning is
+        printed in train()."""
+        n_req = int(self.params.get("mesh_data", -1) or -1)
+        n_avail = len(jax.devices())
+        n_mesh = n_avail if n_req < 0 else min(n_req, n_avail)
+        if n_mesh <= 1:
+            return None
+        from fcd_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(n_mesh, ("data",))
 
     # -- state ---------------------------------------------------------------
 
@@ -118,6 +154,10 @@ class ModelTrainer:
         self.state, epoch, extra = ckpt.load_checkpoint(
             path, self.state, with_optimizer=with_optimizer
         )
+        if self.mesh is not None:
+            from fcd_tpu.parallel.dp import replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
         if extra:
             self.best_val_loss = float(extra.get("best_val_loss", float("inf")))
             self.best_ema_val_loss = float(extra.get("best_ema_val_loss", float("inf")))
@@ -164,6 +204,22 @@ class ModelTrainer:
         compute_dtype = (
             jnp.bfloat16 if p.get("use_amp", True) else jnp.float32
         )
+        if self.mesh is not None:
+            from fcd_tpu.parallel.sw import sharded_sliding_window_inference
+
+            return sharded_sliding_window_inference(
+                jnp.asarray(volume),
+                predictor,
+                self.mesh,
+                roi_size=roi,
+                out_channels=p["chans_out"],
+                sw_batch=p.get("sw_batch_size", 2),
+                overlap=overlap,
+                blend=p.get("sw_blend", "constant"),
+                sigma_scale=p.get("sw_sigma_scale", 0.125),
+                compute_dtype=compute_dtype,
+                patch_s2d=use_s2d_patches,
+            )
         return sliding_window_inference(
             jnp.asarray(volume),
             predictor,
@@ -346,7 +402,26 @@ class ModelTrainer:
                         xb, yb, aug_key,
                         jnp.float32(cd_prob), jnp.float32(gm_prob),
                     )
-                self.state, loss = self.train_step(self.state, xb, yb, lr, step_key)
+                if self.mesh is not None:
+                    n_dev = self.mesh.shape["data"]
+                    if xb.shape[0] % n_dev == 0:
+                        from fcd_tpu.parallel.mesh import shard_batch
+
+                        xb = shard_batch(self.mesh, xb)
+                        yb = shard_batch(self.mesh, yb)
+                        step = self.train_step
+                    else:
+                        if step_count == 0 and epoch == current_epoch and self.verbose:
+                            print(
+                                f"global batch {xb.shape[0]} does not divide over "
+                                f"the {n_dev}-device mesh; running replicated "
+                                f"steps (raise batch_size/samples_per_case for DP)",
+                                flush=True,
+                            )
+                        step = self._ragged_step
+                else:
+                    step = self.train_step
+                self.state, loss = step(self.state, xb, yb, lr, step_key)
                 epoch_loss += float(loss)
                 step_count += 1
 

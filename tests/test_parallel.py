@@ -59,3 +59,59 @@ def test_batch_sharding_layout(mesh):
     assert xs.sharding.spec == jax.sharding.PartitionSpec("data")
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (1, 4, 4, 4, 2)
+
+
+def _write_synth_dataset(root):
+    import os
+
+    from fcd_tpu.data import nifti
+
+    rng = np.random.RandomState(0)
+    for subj in ["sub-01", "sub-02"]:
+        d = root / subj / "anat"
+        os.makedirs(d)
+        vol = rng.rand(24, 24, 24).astype(np.float32) * 0.2
+        gt = np.zeros_like(vol)
+        gt[8:16, 8:16, 8:16] = 1
+        vol = vol + gt * 0.8
+        nifti.save(str(d / "t1_reg.nii.gz"), vol)
+        nifti.save(str(d / "flair_reg.nii.gz"), vol * 0.9)
+        nifti.save(str(d / "gt_reg.nii.gz"), gt)
+    split = root / "split.txt"
+    split.write_text("sub-01 train\nsub-02 val\n")
+    return split
+
+
+def test_cli_train_mesh_matches_single_device(tmp_path, monkeypatch):
+    """--devices 8 trains end-to-end through cli/train.py on the forced-CPU
+    mesh with per-epoch losses matching --devices 1 (VERDICT r1 item 3).
+
+    samples_per_case=8 makes the global batch divide over the 8-device mesh
+    so the DP step (not the ragged fallback) is exercised.
+    """
+    monkeypatch.setenv("WANDB_MODE", "disabled")
+    from fcd_tpu.cli.train import main
+
+    split = _write_synth_dataset(tmp_path)
+    kwargs = [
+        "patch_size=16", "feature_size=4", "max_epochs=2", "min_epochs=0",
+        "warmup_epochs=1", "use_amp=False", "loss=DiceCELoss",
+        "samples_per_case=8", "early_stopping_patience=50",
+    ]
+
+    losses = {}
+    for dev in ("1", "8"):
+        save = tmp_path / f"runs{dev}"
+        main([
+            "--data_dir", str(tmp_path), "--split_file", str(split),
+            "--splits", "train", "val", "--model_type", "BASEUNET",
+            "--devices", dev, "--save_dir", str(save), "--kwargs", *kwargs,
+        ])
+        run_dir = next((save / "BASEUNET").iterdir())
+        rows = (run_dir / "training_log.csv").read_text().strip().splitlines()
+        header = rows[0].split(",")
+        li = header.index("train_loss")
+        losses[dev] = [float(r.split(",")[li]) for r in rows[1:]]
+
+    assert len(losses["8"]) == 2
+    np.testing.assert_allclose(losses["8"], losses["1"], rtol=1e-4)
