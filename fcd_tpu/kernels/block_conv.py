@@ -193,6 +193,62 @@ def _make_aligned_kernel(h2: int, w2: int, cin: int):
     return kernel
 
 
+def _make_padded27_kernel(h2: int, w2: int):
+    """27-tap kernel over a spatially PRE-PADDED aligned-s2d tensor: every
+    block shift is a static slice of the (H2+2, W2+2) slabs, which Mosaic
+    fuses straight into the matmul operands — no roll/mask VPU work at all
+    (the rolls were the bottleneck: 35% -> ~70% MXU on the level-1 shape)."""
+
+    def kernel(x_m1_ref, x_0_ref, x_p1_ref, w_ref, out_ref, acc_ref):
+        rows = (x_m1_ref[0, 0], x_0_ref[0, 0], x_p1_ref[0, 0])
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        tap = 0
+        for r in range(3):
+            base = rows[r]
+            for u in range(3):
+                su = base[u:u + h2]
+                for v in range(3):
+                    sl = su[:, v:v + w2, :]
+                    acc_ref[...] += jax.lax.dot_general(
+                        sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    tap += 1
+        out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
+
+    return kernel
+
+
+def blocked_conv_s2d_padded27(xs: jnp.ndarray, wblk: jnp.ndarray, cin: int,
+                              cout8: int, out_dtype, interpret: bool) -> jnp.ndarray:
+    """Blocked conv on aligned s2d input (B, D2, H2, W2, 8cin): spatial
+    zero-pad by one block per side (pure XLA pad, lane layout untouched),
+    then the padded-27-tap kernel. Same weights as the aligned form
+    (make_blocked_weights_aligned)."""
+    bsz, d2, h2, w2, c8 = xs.shape
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    return pl.pallas_call(
+        _make_padded27_kernel(h2, w2),
+        grid=(bsz, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8), lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8), lambda b, z: (b, z + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8), lambda b, z: (b, z + 2, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, c8, cout8), lambda b, z: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h2, w2, cout8),
+                               lambda b, z: (b, z, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d2, h2, w2, cout8), out_dtype),
+        scratch_shapes=[pltpu.VMEM((h2, w2, cout8), jnp.float32)],
+        interpret=interpret,
+    )(xp, xp, xp, wblk)
+
+
 def blocked_conv_s2d_aligned(xs: jnp.ndarray, wblk: jnp.ndarray, cin: int,
                              cout8: int, out_dtype, interpret: bool) -> jnp.ndarray:
     """Blocked conv consuming the ALIGNED s2d tensor (B, D2, H2, W2, 8cin)."""

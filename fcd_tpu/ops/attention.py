@@ -34,6 +34,15 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return x * jax.lax.rsqrt(sq + eps)
 
 
+def _fused_dsa_enabled() -> bool:
+    """Fused Pallas DSA kernel gate (same pattern as FCD_S2D/FCD_FAST_CONV)."""
+    import os
+
+    if os.environ.get("FCD_FUSED_DSA", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class DSA(nn.Module):
     """Dual self-attention on token sequences (B, N, C).
 
@@ -53,19 +62,17 @@ class DSA(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        from fcd_tpu.ops.layers import xavier_uniform
+
         B, N, C = x.shape
         h = self.num_heads
         c = C // h
         num = 4 if self.sa_type == "parallel" else 3
+        dtype = self.dtype or x.dtype
 
-        qkvv = Dense(C * num, use_bias=self.qkv_bias, dtype=self.dtype)(x)
-        qkvv = qkvv.reshape(B, N, num, h, c)
-        # (B, h, c, N) per slot
-        def slot(i):
-            return jnp.transpose(qkvv[:, :, i], (0, 2, 3, 1))
-
-        q = slot(0)
-        k = slot(1)
+        w_qkvv = self.param("qkvv", xavier_uniform, (C, C * num))
+        b_qkvv = (self.param("qkvv_bias", nn.initializers.zeros, (C * num,))
+                  if self.qkv_bias else None)
 
         temperature = self.param("temperature", nn.initializers.ones, (h, 1, 1))
         temperature2 = self.param("temperature2", nn.initializers.ones, (h, 1, 1))
@@ -77,6 +84,35 @@ class DSA(nn.Module):
                 uniform_scale_init(1.0 / (self.proj_size ** 0.5)),
                 (self.input_size, self.proj_size),
             )
+
+        # fused Pallas path: inference forward on TPU (training keeps the
+        # einsum path — differentiable, and attention dropout needs RNG)
+        from fcd_tpu.kernels.dsa_attention import dsa_fused, dsa_fused_supported
+
+        if ((not train) and b_qkvv is None and _fused_dsa_enabled()
+                and dsa_fused_supported(
+                    N, C, self.proj_size if ef is not None else 8, h)):
+            wk = w_qkvv.reshape(C, num, C).transpose(1, 0, 2)
+            ef_k = ef if ef is not None else jnp.zeros((N, 8), jnp.float32)
+            return dsa_fused(
+                x.astype(dtype), wk.astype(dtype), ef_k.astype(dtype),
+                temperature.reshape(h), temperature2.reshape(h),
+                num_heads=h, sa_type=self.sa_type,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        qkvv = jnp.einsum("bnc,ck->bnk", x.astype(dtype), w_qkvv.astype(dtype))
+        if b_qkvv is not None:
+            qkvv = qkvv + b_qkvv.astype(qkvv.dtype)
+        qkvv = qkvv.reshape(B, N, num, h, c)
+        # (B, h, c, N) per slot
+        def slot(i):
+            return jnp.transpose(qkvv[:, :, i], (0, 2, 3, 1))
+
+        q = slot(0)
+        k = slot(1)
+
+        if ef is not None:
             ef = ef.astype(q.dtype)
 
         qn = _l2_normalize(q, axis=-1)
@@ -128,19 +164,58 @@ class DSA(nn.Module):
 
 
 class ChannelDropout3d(nn.Module):
-    """torch Dropout3d parity: zero whole channels per sample."""
+    """torch Dropout3d parity: zero whole channels per sample.
+
+    With `s2d_channels=c`, x is a space-to-depth tensor (…, 8c) and the
+    per-channel mask is tiled over the 8 parity groups (same channels of
+    the same volume are dropped together, exactly like the dense layout).
+    """
 
     rate: float
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 s2d_channels: Optional[int] = None):
         if not train or self.rate == 0.0:
             return x
         rng = self.make_rng("dropout")
         keep = 1.0 - self.rate
-        b, c = x.shape[0], x.shape[-1]
+        b = x.shape[0]
+        c = s2d_channels if s2d_channels is not None else x.shape[-1]
         mask = jax.random.bernoulli(rng, keep, (b, 1, 1, 1, c))
+        if s2d_channels is not None:
+            mask = jnp.tile(mask, (1, 1, 1, 1, 8))
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _conv_residual_branch(y, C, norm_name, dtype, *, train):
+    """Shared transformer conv residual: y + conv1x1(drop3d(UnetResBlock(y))).
+
+    When the res block is s2d-eligible (TPU, bf16, k3s1, instance/batch
+    norm), the whole branch — res block, channel dropout, 1x1 conv and the
+    residual add — stays in the lane-dense s2d layout with exactly one
+    entry and one exit transpose.
+    """
+    from fcd_tpu.ops.blocks import _s2d_block_eligible
+
+    act = ("leakyrelu", {"negative_slope": 0.01})
+    if _s2d_block_eligible(y.shape[1:4], C, C, 3, 1, norm_name, act, dtype):
+        from fcd_tpu.ops.s2d_ops import from_s2d, to_s2d
+
+        ys = to_s2d(y.astype(jnp.bfloat16))
+        conv = UnetResBlock(out_channels=C, kernel_size=3, stride=1,
+                            norm_name=norm_name, dtype=dtype)(
+            train=train, s2d_parts=[(ys, C)], emit_s2d=True)
+        conv = ChannelDropout3d(0.1)(conv, train=train, s2d_channels=C)
+        conv = Conv3d(C, kernel_size=1, use_bias=True, dtype=dtype)(
+            s2d_parts=[(conv, C)])
+        return from_s2d(ys + conv.astype(ys.dtype), C).astype(y.dtype)
+
+    conv = UnetResBlock(out_channels=C, kernel_size=3, stride=1,
+                        norm_name=norm_name, dtype=dtype)(y, train=train)
+    conv = ChannelDropout3d(0.1)(conv, train=train)
+    conv = Conv3d(C, kernel_size=1, use_bias=True, dtype=dtype)(conv)
+    return y + conv
 
 
 class TransformerBlock(nn.Module):
@@ -183,13 +258,8 @@ class TransformerBlock(nn.Module):
         tokens = tokens + gamma.astype(tokens.dtype) * attn
 
         y = tokens.reshape(B, D, H, W, C)
-        conv = UnetResBlock(
-            out_channels=C, kernel_size=3, stride=1,
-            norm_name=self.conv_norm_name, dtype=self.dtype,
-        )(y, train=train)
-        conv = ChannelDropout3d(0.1)(conv, train=train)
-        conv = Conv3d(C, kernel_size=1, use_bias=True, dtype=self.dtype)(conv)
-        return y + conv
+        return _conv_residual_branch(y, C, self.conv_norm_name, self.dtype,
+                                     train=train)
 
 
 class EPABlock(nn.Module):
@@ -228,11 +298,8 @@ class EPABlock(nn.Module):
         tokens = tokens + gamma.astype(tokens.dtype) * attn
 
         attn_skip = tokens.reshape(B, D, H, W, C)
-        conv = UnetResBlock(out_channels=C, kernel_size=3, stride=1,
-                            norm_name="batch", dtype=self.dtype)(attn_skip, train=train)
-        conv = ChannelDropout3d(0.1)(conv, train=train)
-        conv = Conv3d(C, kernel_size=1, use_bias=True, dtype=self.dtype)(conv)
-        return attn_skip + conv
+        return _conv_residual_branch(attn_skip, C, "batch", self.dtype,
+                                     train=train)
 
 
 class TransformerBlockDSA(nn.Module):

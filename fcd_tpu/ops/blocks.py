@@ -26,8 +26,13 @@ from fcd_tpu.ops.layers import (
 
 
 def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
-                        act_name, dtype) -> bool:
-    """Can this residual block run s2d-resident on the current backend?"""
+                        act_name, dtype, part_channels=None) -> bool:
+    """Can this residual block run s2d-resident on the current backend?
+
+    `part_channels`: when the block input is a (never-materialized) concat
+    of s2d parts, each part is convolved separately — eligibility is then
+    per-part input width, not the total.
+    """
     import os
 
     import jax as _jax
@@ -36,14 +41,16 @@ def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
         return False
     if _jax.default_backend() != "tpu" or dtype != jnp.bfloat16:
         return False
-    if kernel_size != 3 or stride != 1 or norm_name != "instance":
+    if kernel_size != 3 or stride != 1 or norm_name not in ("instance", "batch"):
         return False
     name = act_name[0] if isinstance(act_name, (tuple, list)) else str(act_name)
     if name.lower() not in ("leakyrelu", "relu"):
         return False
     from fcd_tpu.ops.s2d_ops import s2d_supported
 
-    return s2d_supported(dims, cin, cout) and s2d_supported(dims, cout, cout)
+    parts = list(part_channels) if part_channels is not None else [cin]
+    return (all(s2d_supported(dims, c, cout) for c in parts)
+            and s2d_supported(dims, cout, cout))
 
 
 class UnetResBlock(nn.Module):
@@ -83,18 +90,28 @@ class UnetResBlock(nn.Module):
         oc = self.out_channels
         cin_total = sum(c for _, c in parts)
 
+        if self.norm_name == "batch":
+            from fcd_tpu.ops.layers import BatchNorm
+
+            def norm_s2d(t):
+                return BatchNorm(use_running_average=not train)(
+                    t, s2d_channels=oc)
+        else:
+            def norm_s2d(t):
+                return instance_norm_s2d(t, oc)
+
         ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
                     dtype=self.dtype)(s2d_parts=parts)
-        ys = instance_norm_s2d(ys, oc)
+        ys = norm_s2d(ys)
         ys = leaky_relu_s2d(ys, slope)
         ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
                     dtype=self.dtype)(s2d_parts=[(ys, oc)])
-        ys = instance_norm_s2d(ys, oc)
+        ys = norm_s2d(ys)
 
         if cin_total != oc or len(parts) > 1:
             rs = Conv3d(oc, 1, 1, use_bias=self.use_bias,
                         dtype=self.dtype)(s2d_parts=parts)
-            rs = instance_norm_s2d(rs, oc)
+            rs = norm_s2d(rs)
         else:
             rs = parts[0][0]
 
@@ -247,6 +264,7 @@ class UnetrUpBlock(nn.Module):
             and (skip_s2d is not None or _s2d_block_eligible(
                 spatial, 2 * self.out_channels, self.out_channels,
                 self.kernel_size, 1, self.norm_name, self.act_name, self.dtype,
+                part_channels=[self.out_channels, skip_c],
             ))
         ):
             from fcd_tpu.ops.s2d_ops import to_s2d

@@ -100,19 +100,51 @@ class GroupNorm(nn.Module):
 
 class BatchNorm(nn.Module):
     """BatchNorm over (batch + spatial), torch BatchNorm3d parity
-    (eps=1e-5, momentum=0.1 torch-style => 0.9 flax-style)."""
+    (eps=1e-5, momentum=0.1 torch-style => 0.9 flax-style).
+
+    First-party implementation (not flax nn.BatchNorm) so the same module —
+    same param/batch_stats tree — can also consume space-to-depth tensors:
+    with `s2d_channels=c`, x is (B, D/2, H/2, W/2, 8c) and per-channel stats
+    regroup over the 8 parity groups without leaving the lane-dense layout.
+    """
 
     use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=None,
-            param_dtype=jnp.float32,
-        )(x)
+    def __call__(self, x, *, s2d_channels: Optional[int] = None):
+        c = s2d_channels if s2d_channels is not None else x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            m1 = jnp.mean(xf, axis=axes)
+            m2 = jnp.mean(jnp.square(xf), axis=axes)
+            if s2d_channels is not None:
+                m1 = m1.reshape(8, c).mean(axis=0)
+                m2 = m2.reshape(8, c).mean(axis=0)
+            mean = m1
+            var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+
+        w = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * w
+        if s2d_channels is not None:
+            w, b = jnp.tile(w, 8), jnp.tile(b, 8)
+        return (xf * w + b).astype(x.dtype)
 
 
 class LayerNorm(nn.Module):

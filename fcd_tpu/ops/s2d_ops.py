@@ -67,15 +67,41 @@ def conv3x3_s2d(xs: jnp.ndarray, w: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.
     return _conv3x3_s2d_fwd_impl(xs, w, out_dtype)
 
 
+def _conv_form() -> str:
+    """Which blocked-conv formulation conv3x3_s2d uses (FCD_S2D_CONV):
+
+    'padded27' (default): XLA spatial zero-pad of the aligned s2d tensor
+    (no lane manipulation) + 27-tap kernel whose shifts are static slices
+    fused into the matmul operands. No VPU shift work.
+    'aligned': 27-tap roll+mask kernel on the unpadded tensor (VPU-bound
+    shift construction; the round-1 form).
+    '8tap': reinterleave (lane-granular slice+pad+concat — slow in XLA)
+    feeding the 8-tap kernel; 2.37x FLOP redundancy but loses to the
+    reinterleave cost. Kept for A/B reference.
+    """
+    import os
+
+    return os.environ.get("FCD_S2D_CONV", "padded27")
+
+
 def _conv3x3_s2d_fwd_impl(xs, w, out_dtype):
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_s2d_aligned,
+        blocked_conv_s2d_padded27,
         make_blocked_weights_aligned,
     )
 
     cin, cout = w.shape[3], w.shape[4]
-    wblk = make_blocked_weights_aligned(w.astype(jnp.float32)).astype(jnp.bfloat16)
     interpret = jax.default_backend() != "tpu"   # CPU tests run interpreted
+    form = _conv_form()
+    if form == "8tap":
+        wblk = make_blocked_weights(w.astype(jnp.float32)).astype(jnp.bfloat16)
+        xp = reinterleave_to_padded(xs.astype(jnp.bfloat16), cin)
+        return _blocked_conv_s2d(xp, wblk, 8 * cout, out_dtype, interpret)
+    wblk = make_blocked_weights_aligned(w.astype(jnp.float32)).astype(jnp.bfloat16)
+    if form == "padded27":
+        return blocked_conv_s2d_padded27(xs.astype(jnp.bfloat16), wblk, cin,
+                                         8 * cout, out_dtype, interpret)
     return blocked_conv_s2d_aligned(xs.astype(jnp.bfloat16), wblk, cin,
                                     8 * cout, out_dtype, interpret)
 

@@ -43,6 +43,47 @@ def dep_bench_apply(mod, shapes, n=8):
 
 def main():
     fs = 16
+    from fcd_tpu.ops.attention import DSA
+    from flax import linen as nn
+
+    class _DSAOnly(nn.Module):
+        """LN + DSA at a level's token shape (attention cost w/o conv branch)."""
+        n: int
+        c: int
+        p: int
+
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            from fcd_tpu.ops.layers import LayerNorm
+
+            b, d, h, w, cc = x.shape
+            t = x.reshape(b, self.n, cc)
+            a = DSA(input_size=self.n, hidden_size=self.c, proj_size=self.p,
+                    num_heads=4, dtype=jnp.bfloat16)(LayerNorm()(t), train=train)
+            return a.reshape(x.shape)
+
+    class _ConvBranchOnly(nn.Module):
+        """The transformer conv residual alone (batch-norm res block path)."""
+        c: int
+
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            from fcd_tpu.ops.attention import _conv_residual_branch
+
+            return _conv_residual_branch(x, self.c, "batch", jnp.bfloat16,
+                                         train=train)
+
+    class _EmbedOnly(nn.Module):
+        """1x1 patch embed + GroupNorm (level entry into the transformer)."""
+        c: int
+        groups: int
+
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            t = Conv3d(self.c, kernel_size=1, use_bias=False,
+                       dtype=jnp.bfloat16)(x)
+            return GroupNorm(num_groups=self.groups)(t)
+
     specs = [
         ("enc1 2->16 @128^3", UnetrBasicBlock(out_channels=fs, norm_name="instance",
                                               act_name=L, res_block=True,
@@ -81,6 +122,16 @@ def main():
                                                 proj_size=32, dropout_rate=0.1,
                                                 dtype=jnp.bfloat16),
          [(B, 4, 4, 4, 256)]),
+        ("dsa3 LN+attn C32 N32768", _DSAOnly(n=32 ** 3, c=32, p=64),
+         [(B, 32, 32, 32, 32)]),
+        ("dsa4 LN+attn C64 N4096", _DSAOnly(n=16 ** 3, c=64, p=64),
+         [(B, 16, 16, 16, 64)]),
+        ("convbr3 batchnorm C32 @32^3", _ConvBranchOnly(c=32),
+         [(B, 32, 32, 32, 32)]),
+        ("convbr4 batchnorm C64 @16^3", _ConvBranchOnly(c=64),
+         [(B, 16, 16, 16, 64)]),
+        ("embed3 1x1+GN 64->32 @32^3", _EmbedOnly(c=32, groups=16),
+         [(B, 32, 32, 32, 64)]),
         ("dec1 up 32->16 @128^3", UnetrUpBlock(out_channels=fs, norm_name="instance",
                                                act_name=L, res_block=True,
                                                use_bias=False, dtype=jnp.bfloat16),
@@ -90,7 +141,12 @@ def main():
                                               use_bias=False, dtype=jnp.bfloat16),
          [(B, 32, 32, 32, fs * 2), (B, 64, 64, 64, fs * 2)]),
     ]
+    import sys
+
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
     for name, mod, shp in specs:
+        if only and only not in name:
+            continue
         try:
             print(f"{name}: {dep_bench_apply(mod, shp):.2f} ms", flush=True)
         except Exception as e:  # noqa: BLE001

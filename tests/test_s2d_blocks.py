@@ -134,11 +134,13 @@ def test_ms_dsa_net_s2d_residency_matches_standard(monkeypatch):
     v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     want = np.asarray(model.apply(v, x, train=False))
 
-    def permissive(dims, cin, cout, k, s, norm, act, dtype):
+    def permissive(dims, cin, cout, k, s, norm, act, dtype,
+                   part_channels=None):
         from fcd_tpu.ops.s2d_ops import s2d_supported
 
+        parts = list(part_channels) if part_channels is not None else [cin]
         return (k == 3 and s == 1 and norm == "instance"
-                and s2d_supported(dims, cin, cout))
+                and all(s2d_supported(dims, c, cout) for c in parts))
 
     monkeypatch.setattr(blocks_mod, "_s2d_block_eligible", permissive)
     got = np.asarray(model.apply(v, x, train=False))
@@ -192,12 +194,106 @@ def test_segresnet_resblock_s2d_matches_standard(monkeypatch):
 
     import fcd_tpu.ops.blocks as blocks_mod
 
-    def permissive(dims, cin, cout, k, s, norm, act, dtype):
+    def permissive(dims, cin, cout, k, s, norm, act, dtype,
+                   part_channels=None):
         from fcd_tpu.ops.s2d_ops import s2d_supported
 
-        return k == 3 and s == 1 and norm == "instance" and s2d_supported(dims, cin, cout)
+        parts = list(part_channels) if part_channels is not None else [cin]
+        return (k == 3 and s == 1 and norm == "instance"
+                and all(s2d_supported(dims, c, cout) for c in parts))
 
     monkeypatch.setattr(blocks_mod, "_s2d_block_eligible", permissive)
     got = np.asarray(block.apply(v, x, train=False))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+def _permissive_any_norm(dims, cin, cout, k, s, norm, act, dtype,
+                         part_channels=None):
+    from fcd_tpu.ops.s2d_ops import s2d_supported
+
+    parts = list(part_channels) if part_channels is not None else [cin]
+    return (k == 3 and s == 1 and norm in ("instance", "batch")
+            and all(s2d_supported(dims, c, cout) for c in parts))
+
+
+def test_batchnorm_s2d_matches_dense_train_and_eval():
+    from fcd_tpu.ops.layers import BatchNorm
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(2, 8, 8, 8, 4) * 3 - 1, jnp.float32)
+    bn_train = BatchNorm(use_running_average=False)
+    v = bn_train.init({"params": jax.random.PRNGKey(0)}, x)
+
+    want, vars_dense = bn_train.apply(v, x, mutable=["batch_stats"])
+    got_s2d, vars_s2d = bn_train.apply(v, to_s2d(x), s2d_channels=4,
+                                       mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(from_s2d(got_s2d, 4)),
+                               np.asarray(want), atol=1e-5)
+    # running stats must update identically through either layout
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(vars_s2d["batch_stats"][k]),
+            np.asarray(vars_dense["batch_stats"][k]), atol=1e-6)
+
+    # eval mode: scale/shift with stored stats
+    v_eval = {"params": v["params"], "batch_stats": vars_dense["batch_stats"]}
+    bn_eval = BatchNorm(use_running_average=True)
+    want_e = bn_eval.apply(v_eval, x)
+    got_e = from_s2d(bn_eval.apply(v_eval, to_s2d(x), s2d_channels=4), 4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e), atol=1e-5)
+
+
+def test_resblock_batchnorm_s2d_path_matches_standard():
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
+    block = UnetResBlock(out_channels=16, norm_name="batch", dtype=None)
+    v = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    want = np.asarray(block.apply(v, x, train=False))
+    got = np.asarray(
+        block.apply(v, train=False, s2d_parts=[(to_s2d(x), 16)])
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+    # train mode: batch_stats must update identically
+    _, m_dense = block.apply(v, x, train=True, mutable=["batch_stats"])
+    _, m_s2d = block.apply(v, train=True, s2d_parts=[(to_s2d(x), 16)],
+                           mutable=["batch_stats"])
+    d_flat = jax.tree_util.tree_leaves(m_dense["batch_stats"])
+    s_flat = jax.tree_util.tree_leaves(m_s2d["batch_stats"])
+    assert len(d_flat) == len(s_flat) == 4
+    for a, b in zip(d_flat, s_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_transformer_conv_branch_s2d_matches_standard(monkeypatch):
+    from fcd_tpu.ops.attention import TransformerBlock
+    import fcd_tpu.ops.blocks as blocks_mod
+    import fcd_tpu.ops.attention as attn_mod
+
+    m = TransformerBlock(input_size=16 ** 3, hidden_size=16, proj_size=8,
+                         dropout_rate=0.0, dtype=None)
+    x = jnp.asarray(np.random.RandomState(11).rand(1, 16, 16, 16, 16),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               x, train=False)
+    want = np.asarray(m.apply(v, x, train=False))
+    monkeypatch.setattr(blocks_mod, "_s2d_block_eligible", _permissive_any_norm)
+    got = np.asarray(m.apply(v, x, train=False))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+@pytest.mark.parametrize("form", ["padded27", "aligned", "8tap"])
+def test_conv3x3_s2d_forms_match_reference(form, monkeypatch):
+    from fcd_tpu.kernels.block_conv import reference_conv3x3
+    from fcd_tpu.ops.s2d_ops import conv3x3_s2d
+
+    monkeypatch.setenv("FCD_S2D_CONV", form)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 16, 8).astype(np.float32) * 0.2)
+    got = np.asarray(from_s2d(conv3x3_s2d(to_s2d(x), w, jnp.float32), 8))
+    want = np.asarray(reference_conv3x3(x, w))
+    np.testing.assert_allclose(got, want, atol=0.02 * np.abs(want).max())
