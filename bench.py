@@ -58,7 +58,8 @@ def main() -> None:
         and jax.default_backend() == "tpu"
         and patch_s2d_compatible(VOL_SHAPE[:3], (128, 128, 128), params["sw_overlap"])
     )
-    predict_v = make_eval_fn(model, x_is_s2d=use_s2d_patches)
+    predict_v = make_eval_fn(model, x_is_s2d=use_s2d_patches,
+                             s2d_logits=use_s2d_patches)
 
     def predictor(patches):
         return predict_v(variables, patches)
@@ -77,6 +78,7 @@ def main() -> None:
             blend=params["sw_blend"],
             compute_dtype=jnp.bfloat16,
             patch_s2d=use_s2d_patches,
+            s2d_logits=use_s2d_patches,
         )
         # force completion: the axon relay backend's block_until_ready is
         # async; a tiny host fetch is the reliable sync point

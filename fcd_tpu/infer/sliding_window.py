@@ -72,7 +72,7 @@ def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> 
 @functools.partial(
     jax.jit,
     static_argnames=("predictor", "roi_size", "sw_batch", "out_channels", "blend",
-                     "sigma_scale", "compute_dtype", "patch_s2d"),
+                     "sigma_scale", "compute_dtype", "patch_s2d", "s2d_logits"),
 )
 def _sliding_window_jit(
     volume: jnp.ndarray,            # (D, H, W, C) already padded to >= roi
@@ -87,6 +87,7 @@ def _sliding_window_jit(
     sigma_scale: float,
     compute_dtype,
     patch_s2d: bool = False,
+    s2d_logits: bool = False,
 ):
     d, h, w, c = volume.shape
     rd, rh, rw = roi_size
@@ -98,9 +99,6 @@ def _sliding_window_jit(
     else:
         imp = jnp.ones(roi_size, jnp.float32)
     imp4 = imp[..., None]  # (rd, rh, rw, 1)
-
-    acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
-    cnt = jnp.zeros((d, h, w, 1), jnp.float32)
 
     vol_c = volume.astype(compute_dtype)
     if patch_s2d:
@@ -121,6 +119,48 @@ def _sliding_window_jit(
             return jax.lax.dynamic_slice(
                 vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
             )
+
+    if s2d_logits:
+        # blend in s2d space: the predictor emits (B, rd/2, rh/2, rw/2, 8*O)
+        # s2d logits, the accumulators live on the s2d grid (lane-dense),
+        # and the full-resolution exit transpose happens ONCE per volume
+        from fcd_tpu.kernels.block_conv import depth_to_space, space_to_depth
+
+        imp_s2d = space_to_depth(imp[None, ..., None])[0]      # (rd2, rh2, rw2, 8)
+        imp_lanes = jnp.repeat(imp_s2d, out_channels, axis=-1)  # (.., 8*O)
+        rd2, rh2, rw2 = rd // 2, rh // 2, rw // 2
+        acc = jnp.zeros((d // 2, h // 2, w // 2, 8 * out_channels), jnp.float32)
+        cnt = jnp.zeros((d // 2, h // 2, w // 2, 8), jnp.float32)
+
+        def body(carry, batch_idx):
+            acc, cnt = carry
+            idx0 = batch_idx * sw_batch
+            batch_starts = jax.lax.dynamic_slice(starts, (idx0, 0), (sw_batch, 3))
+            batch_valid = jax.lax.dynamic_slice(valid, (idx0,), (sw_batch,))
+            patches = jax.vmap(gather)(batch_starts)
+            logits = predictor(patches).astype(jnp.float32)    # (B, rd2, rh2, rw2, 8O)
+
+            def scatter(i, carry):
+                acc, cnt = carry
+                s = batch_starts[i]
+                pos = (s[0] // 2, s[1] // 2, s[2] // 2, 0)
+                cur = jax.lax.dynamic_slice(acc, pos, (rd2, rh2, rw2, 8 * out_channels))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + logits[i] * (imp_lanes * batch_valid[i]), pos)
+                curc = jax.lax.dynamic_slice(cnt, pos, (rd2, rh2, rw2, 8))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt, curc + imp_s2d * batch_valid[i], pos)
+                return acc, cnt
+
+            acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter, (acc, cnt))
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(n_batches))
+        out = acc / jnp.repeat(jnp.maximum(cnt, 1e-8), out_channels, axis=-1)
+        return depth_to_space(out[None], out_channels)[0]
+
+    acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
+    cnt = jnp.zeros((d, h, w, 1), jnp.float32)
 
     def body(carry, batch_idx):
         acc, cnt = carry
@@ -171,6 +211,7 @@ def sliding_window_inference(
     sigma_scale: float = 0.125,
     compute_dtype=jnp.float32,
     patch_s2d: bool = False,
+    s2d_logits: bool = False,
 ) -> jnp.ndarray:
     """Run `predictor` over a (D, H, W, C) volume in overlapping roi-size
     patches and blend the logits. Returns (D, H, W, out_channels) float32.
@@ -179,17 +220,20 @@ def sliding_window_inference(
     and should already be parameter-bound (and jittable). With
     patch_s2d=True the volume is space-to-depth'd once and the predictor
     receives (B, rd/2, rh/2, rw/2, 8C) lane-dense patches instead — the
-    fast path for models with supports_s2d_input.
+    fast path for models with supports_s2d_input. With s2d_logits=True the
+    predictor must also RETURN s2d logits (B, rd/2, rh/2, rw/2, 8*O) —
+    blending then runs on the lane-dense s2d grid and the full-resolution
+    exit transpose happens once per volume instead of once per patch.
     """
     roi_size = tuple(int(r) for r in roi_size)
     d, h, w, c = volume.shape
     pad = [max(r - s, 0) for r, s in zip(roi_size, (d, h, w))]
     padded = volume
-    if patch_s2d:
+    if patch_s2d or s2d_logits:
         if not patch_s2d_compatible((d, h, w), roi_size, overlap):
             raise ValueError(
-                "patch_s2d requires even rois, an even patch interval and "
-                "even volume dims; check patch_s2d_compatible first"
+                "patch_s2d/s2d_logits require even rois, an even patch "
+                "interval and even volume dims; check patch_s2d_compatible"
             )
     if any(pad):
         # symmetric padding (MONAI pads half before, half after)
@@ -217,6 +261,7 @@ def sliding_window_inference(
         sigma_scale=sigma_scale,
         compute_dtype=compute_dtype,
         patch_s2d=patch_s2d,
+        s2d_logits=s2d_logits,
     )
     if any(pad):
         sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))

@@ -249,6 +249,570 @@ def blocked_conv_s2d_padded27(xs: jnp.ndarray, wblk: jnp.ndarray, cin: int,
     )(xp, xp, xp, wblk)
 
 
+def _make_fused_kernel(h2: int, w2: int, *, has_prologue: bool,
+                       neg_slope: float, has_res: bool, want_stats: bool):
+    """Padded-27-tap conv kernel with fused input prologue, optional 1x1
+    residual output, and accumulated output statistics.
+
+    Prologue: t = leaky_relu(x * scale + shift) applied in VMEM to each
+    input slab — the previous norm+activation never touches HBM. The
+    spatial zero-padding border is re-zeroed AFTER the prologue (shift
+    would otherwise leak into the conv halo), via an iota mask; depth
+    border slabs are zeroed by program position.
+    Stats: per-lane sum / sum-of-squares of the f32 accumulator, reduced
+    over the grid into (1, 8cout) outputs — the next norm's statistics
+    come for free with the conv.
+    Residual: the center-tap slab (the block input itself) against a 1x1
+    blocked weight — the projection shortcut shares the input reads.
+    """
+
+    def kernel(*refs):
+        idx = 0
+        x_m1_ref, x_0_ref, x_p1_ref, w_ref = refs[idx:idx + 4]
+        idx += 4
+        if has_res:
+            rw_ref = refs[idx]
+            idx += 1
+        if has_prologue:
+            scale_ref, shift_ref = refs[idx:idx + 2]
+            idx += 2
+        out_ref = refs[idx]
+        idx += 1
+        if want_stats:
+            ysum_ref, ysq_ref = refs[idx:idx + 2]
+            idx += 2
+        if has_res:
+            r_ref = refs[idx]
+            idx += 1
+            if want_stats:
+                rsum_ref, rsq_ref = refs[idx:idx + 2]
+                idx += 2
+
+        z = pl.program_id(1)
+        n_z = pl.num_programs(1)
+
+        # H/W zero border (the input is spatially pre-padded by one block)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (h2 + 2, w2 + 2, 1), 0)
+        wi = jax.lax.broadcasted_iota(jnp.int32, (h2 + 2, w2 + 2, 1), 1)
+        border = ((hi >= 1) & (hi <= h2) & (wi >= 1) & (wi <= w2))
+
+        def load(ref, zvalid):
+            t = ref[0, 0]
+            if has_prologue:
+                t = t.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+                if neg_slope != 1.0:
+                    t = jnp.where(t >= 0, t, neg_slope * t)
+            m = border & zvalid
+            t = jnp.where(m, t, jnp.zeros_like(t))
+            return t.astype(out_ref.dtype)
+
+        rows = (
+            load(x_m1_ref, z > 0),
+            load(x_0_ref, z >= 0),
+            load(x_p1_ref, z < n_z - 1),
+        )
+
+        acc = None
+        tap = 0
+        for r in range(3):
+            base = rows[r]
+            for u in range(3):
+                su = base[u:u + h2]
+                for v in range(3):
+                    sl = su[:, v:v + w2, :]
+                    d = jax.lax.dot_general(
+                        sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = d if acc is None else acc + d
+                    tap += 1
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+        @pl.when(z == 0)
+        def _():
+            if want_stats:
+                ysum_ref[...] = jnp.zeros_like(ysum_ref)
+                ysq_ref[...] = jnp.zeros_like(ysq_ref)
+                if has_res:
+                    rsum_ref[...] = jnp.zeros_like(rsum_ref)
+                    rsq_ref[...] = jnp.zeros_like(rsq_ref)
+
+        if want_stats:
+            ysum_ref[0] += jnp.sum(acc, axis=(0, 1), keepdims=True)[0]
+            ysq_ref[0] += jnp.sum(jnp.square(acc), axis=(0, 1), keepdims=True)[0]
+        if has_res:
+            center = rows[1][1:1 + h2, 1:1 + w2, :]
+            racc = jax.lax.dot_general(
+                center, rw_ref[...], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            r_ref[0, 0] = racc.astype(r_ref.dtype)
+            if want_stats:
+                rsum_ref[0] += jnp.sum(racc, axis=(0, 1), keepdims=True)[0]
+                rsq_ref[0] += jnp.sum(jnp.square(racc), axis=(0, 1),
+                                      keepdims=True)[0]
+
+    return kernel
+
+
+def blocked_conv_s2d_fused(
+    xs: jnp.ndarray,            # aligned s2d (B, D2, H2, W2, 8cin)
+    wblk: jnp.ndarray,          # (27, 8cin, 8cout)
+    *,
+    in_scale: Optional[jnp.ndarray] = None,   # (B, 8cin) f32
+    in_shift: Optional[jnp.ndarray] = None,
+    neg_slope: float = 1.0,     # 1.0 = linear (no activation)
+    res_wblk: Optional[jnp.ndarray] = None,   # (8cin, 8cout_res) 1x1 weights
+    want_stats: bool = False,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused padded-27-tap blocked conv. Returns
+    (y[, ysum, ysumsq][, r, rsum, rsumsq]) — stats are f32 (B, 8cout)."""
+    bsz, d2, h2, w2, c8 = xs.shape
+    cout8 = wblk.shape[-1]
+    has_prologue = in_scale is not None
+    has_res = res_wblk is not None
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def row(off):
+        if off == 0:
+            return pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                                lambda b, z: (b, z, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if off == -1:
+            return pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                                lambda b, z: (b, jnp.maximum(z - 1, 0), 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                            lambda b, z: (b, jnp.minimum(z + 1, d2 - 1), 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [row(-1), row(0), row(1),
+                pl.BlockSpec((27, c8, cout8), lambda b, z: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    inputs = [xp, xp, xp, wblk]
+    if has_res:
+        cr8 = res_wblk.shape[-1]
+        in_specs.append(pl.BlockSpec((c8, cr8), lambda b, z: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(res_wblk)
+    if has_prologue:
+        for arr in (in_scale, in_shift):
+            in_specs.append(pl.BlockSpec((1, 1, c8), lambda b, z: (b, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(arr.reshape(bsz, 1, c8).astype(jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 1, h2, w2, cout8),
+                              lambda b, z: (b, z, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, d2, h2, w2, cout8), out_dtype)]
+    stat_spec = pl.BlockSpec((1, 1, cout8), lambda b, z: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if want_stats:
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [jax.ShapeDtypeStruct((bsz, 1, cout8), jnp.float32)] * 2
+    if has_res:
+        cr8 = res_wblk.shape[-1]
+        out_specs.append(pl.BlockSpec((1, 1, h2, w2, cr8),
+                                      lambda b, z: (b, z, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, d2, h2, w2, cr8), out_dtype))
+        if want_stats:
+            rstat = pl.BlockSpec((1, 1, cr8), lambda b, z: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            out_specs += [rstat, rstat]
+            out_shape += [jax.ShapeDtypeStruct((bsz, 1, cr8), jnp.float32)] * 2
+
+    result = pl.pallas_call(
+        _make_fused_kernel(h2, w2, has_prologue=has_prologue,
+                           neg_slope=neg_slope, has_res=has_res,
+                           want_stats=want_stats),
+        grid=(bsz, d2),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return result if isinstance(result, (list, tuple)) else (result,)
+
+
+_TAP_TABLE8H = None
+
+
+def make_blocked_weights_8tap(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Cin,Cout) -> (8, 8*Cin, 8*Cout) GEMM weights for the
+    HALF-OFFSET 8-tap formulation: a 3x3x3 'same' conv between two s2d
+    lattices whose blockings are offset by half a block (one voxel).
+
+    Per axis, with slab-read shift s in {0,1}, input parity p, output
+    parity q and kernel index k: k = p - q + 2s (valid when 0 <= k <= 2).
+    Exactly 6 of the 12 (s,p,q) combinations are valid per axis, so the
+    total matmul work is 8*64 / (27*8/8) = 64/27 = 2.37x the logical conv
+    FLOPs — vs 8x for the 27-tap aligned form. The SAME table serves both
+    directions (aligned->offset and offset->aligned); only the padding
+    geometry differs (see blocked_conv_a2o / blocked_conv_o2a).
+    """
+    cin, cout = w.shape[3], w.shape[4]
+    global _TAP_TABLE8H
+    if _TAP_TABLE8H is None:
+        t = np.zeros((8, 8, 8, 27), np.float32)
+        for si, ss in enumerate(itertools.product(range(2), repeat=3)):
+            for p in itertools.product(range(2), repeat=3):
+                for q in itertools.product(range(2), repeat=3):
+                    ks = [pp - qq + 2 * sv for sv, pp, qq in zip(ss, p, q)]
+                    if all(0 <= kv <= 2 for kv in ks):
+                        ki = 9 * ks[0] + 3 * ks[1] + ks[2]
+                        pi = 4 * p[0] + 2 * p[1] + p[2]
+                        qi = 4 * q[0] + 2 * q[1] + q[2]
+                        t[si, pi, qi, ki] = 1.0
+        _TAP_TABLE8H = t
+    table = jnp.asarray(_TAP_TABLE8H, w.dtype)
+    wb = jnp.einsum("kio,spqk->spioq", w.reshape(27, cin, cout), table)
+    return wb.transpose(0, 1, 2, 4, 3).reshape(8, 8 * cin, 8 * cout)
+
+
+def _parity_lane_masks(h_out: int, w_out: int, c8: int, h_last: int,
+                       w_last: int):
+    """(keep_h & keep_w) lane-aware pad-slot mask for an OFFSET-blocked
+    (h_out, w_out, 8c) slab: per axis, position 0 parity-0 lanes and the
+    LAST REAL position's (h_last/w_last — the slab may carry extra
+    zero columns for sublane alignment) parity-1 lanes are half-block
+    padding (voxels -1 / N).
+
+    Built from minimal-shape iotas (broadcast resolves late) so the
+    compiler never materializes full (h, w, 128) int32 temps."""
+    c = c8 // 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c8), 2)
+    hpos = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1, 1), 0)
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, w_out, 1), 1)
+    py = (lane // (2 * c)) % 2
+    px = (lane // c) % 2
+    keep = ((hpos > 0) | (py == 1)) & ((hpos != h_last) | (py == 0))
+    keep &= ((wpos > 0) | (px == 1)) & ((wpos != w_last) | (px == 0))
+    return keep
+
+
+def _pz_lanes(h_out: int, w_out: int, c8: int):
+    c = c8 // 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c8), 2)
+    return (lane // (4 * c)) % 2
+
+
+def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
+                        has_prologue: bool, neg_slope: float,
+                        want_stats: bool, h_last: int, w_last: int):
+    """Half-offset 8-tap conv kernel (one depth-row per program).
+
+    variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
+    a depth/H/W zero-padded tensor (affine row maps keep the DMA pipeline
+    double-buffered); output pad-slot lanes (offset blocking's intrinsic
+    half-block halo) are zeroed before store/stats.
+    variant 'o2a' (offset in -> aligned out): reads offset rows z, z+1
+    (the offset tensor carries its halo intrinsically); the prologue
+    (previous norm's affine + leaky-relu) re-zeroes the pad-slot lanes it
+    would otherwise corrupt.
+
+    h_last/w_last: index of the LAST REAL off-block (the offset tensor's
+    W is padded up to a sublane multiple with zero columns so Mosaic can
+    flatten GEMM operands without copies — w_out % 8 == 0 matters; the
+    odd-width form ran at ~30% MXU vs ~90%).
+    """
+    assert variant in ("a2o", "o2a")
+    # a2o's H/W halo is XLA zero-padding; an affine prologue would corrupt it
+    assert not (variant == "a2o" and has_prologue)
+
+    def kernel(*refs):
+        idx = 0
+        x_lo_ref, x_hi_ref, w_ref = refs[idx:idx + 3]
+        idx += 3
+        if has_prologue:
+            scale_ref, shift_ref = refs[idx:idx + 2]
+            idx += 2
+        out_ref = refs[idx]
+        idx += 1
+        if want_stats:
+            ysum_ref, ysq_ref = refs[idx:idx + 2]
+            idx += 2
+
+        z = pl.program_id(1)
+        n_z = pl.num_programs(1)
+        c8 = x_lo_ref.shape[-1]
+        h_in, w_in = x_lo_ref.shape[2], x_lo_ref.shape[3]
+
+        if variant == "o2a":
+            in_keep = _parity_lane_masks(h_in, w_in, c8, h_last, w_last)
+            pz_in = _pz_lanes(h_in, w_in, c8)
+            n_z_in = n_z + 1
+
+        def load(ref, s):
+            t = ref[0, 0]
+            if has_prologue:
+                t = t.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+                if neg_slope != 1.0:
+                    t = jnp.where(t >= 0, t, neg_slope * t)
+                if variant == "o2a":
+                    # re-zero the offset tensor's pad slots after the affine
+                    r = z + s
+                    keep = in_keep & ((r > 0) | (pz_in == 1)) & (
+                        (r < n_z_in - 1) | (pz_in == 0))
+                    t = jnp.where(keep, t, jnp.zeros_like(t))
+                t = t.astype(out_ref.dtype)
+            return t
+
+        rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
+
+        acc = None
+        tap = 0
+        for sz in range(2):
+            base = rows[sz]
+            for sy in range(2):
+                su = base[sy:sy + h_out]
+                for sx in range(2):
+                    sl = su[:, sx:sx + w_out, :]
+                    d = jax.lax.dot_general(
+                        sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = d if acc is None else acc + d
+                    tap += 1
+
+        if variant == "a2o":
+            # zero the offset output's pad-slot lanes (voxels -1 / N per
+            # axis) so downstream reads and the stats see exact zeros
+            cout8 = out_ref.shape[-1]
+            keep = _parity_lane_masks(h_out, w_out, cout8, h_last, w_last)
+            pz = _pz_lanes(h_out, w_out, cout8)
+            keep &= ((z > 0) | (pz == 1)) & ((z < n_z - 1) | (pz == 0))
+            acc = jnp.where(keep, acc, jnp.zeros_like(acc))
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+        if want_stats:
+            @pl.when(z == 0)
+            def _():
+                ysum_ref[...] = jnp.zeros_like(ysum_ref)
+                ysq_ref[...] = jnp.zeros_like(ysq_ref)
+
+            ysum_ref[0] += jnp.sum(acc, axis=(0, 1), keepdims=True)[0]
+            ysq_ref[0] += jnp.sum(jnp.square(acc), axis=(0, 1),
+                                  keepdims=True)[0]
+
+    return kernel
+
+
+def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
+                 in_scale, in_shift, neg_slope, want_stats, out_dtype,
+                 interpret):
+    bsz = xp.shape[0]
+    c8 = xp.shape[-1]
+    cout8 = wblk8.shape[-1]
+    has_prologue = in_scale is not None
+    h_in, w_in = xp.shape[2], xp.shape[3]
+
+    # both variants read input rows z, z+1 — affine maps keep Mosaic's
+    # double-buffered pipeline (clamped maps serialized the HBM fetches)
+    def lo(b, z):
+        return (b, z, 0, 0, 0)
+
+    def hi(b, z):
+        return (b, z + 1, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, h_in, w_in, c8), lo, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h_in, w_in, c8), hi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [xp, xp, wblk8]
+    if has_prologue:
+        for arr in (in_scale, in_shift):
+            in_specs.append(pl.BlockSpec((1, 1, c8), lambda b, z: (b, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(arr.reshape(bsz, 1, c8).astype(jnp.float32))
+
+    out_specs = [pl.BlockSpec((1, 1, h_out, w_out, cout8),
+                              lambda b, z: (b, z, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, d_out, h_out, w_out, cout8),
+                                      out_dtype)]
+    if want_stats:
+        stat_spec = pl.BlockSpec((1, 1, cout8), lambda b, z: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [jax.ShapeDtypeStruct((bsz, 1, cout8), jnp.float32)] * 2
+
+    result = pl.pallas_call(
+        _make_fused8_kernel(h_out, w_out, variant=variant,
+                            has_prologue=has_prologue, neg_slope=neg_slope,
+                            want_stats=want_stats, h_last=h_last,
+                            w_last=w_last),
+        grid=(bsz, d_out),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        # the full-resolution slabs (66x80x128 + f32 accumulator) overflow
+        # the 16M default scoped-VMEM budget; v5e has 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    return result if isinstance(result, (list, tuple)) else (result,)
+
+
+def _pad8(v: int) -> int:
+    return (v + 7) // 8 * 8
+
+
+def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
+                     want_stats: bool = False, out_dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """Aligned s2d (B, D2, H2, W2, 8cin) -> offset-blocked
+    (B, D2+1, H2+1, pad8(W2+1), 8cout), 8-tap half-offset kernel, pad-slot
+    lanes zeroed. Returns (y[, ysum, ysumsq]).
+
+    The input is zero-padded by one block on every axis (affine depth-row
+    reads) and the W axis — the sublane axis of the flattened GEMM
+    operands — is padded so the OUTPUT width is a multiple of 8: Mosaic
+    then flattens (h, w, c) operands without copies. The extra output
+    columns compute from zero-padding only, so they are exact zeros
+    (stats-safe); consumers index real blocks 0..W2."""
+    bsz, d2, h2, w2, _ = xs.shape
+    w_out = _pad8(w2 + 1)
+    w_in = _pad8(w_out + 1)
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (1, w_in - 1 - w2), (0, 0)))
+    return _fused8_call(
+        xp, wblk8, variant="a2o", d_out=d2 + 1, h_out=h2 + 1, w_out=w_out,
+        h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
+        want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
+    )
+
+
+def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
+                     in_scale: Optional[jnp.ndarray] = None,
+                     in_shift: Optional[jnp.ndarray] = None,
+                     neg_slope: float = 1.0, want_stats: bool = False,
+                     out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Offset-blocked (B, D2+1, H2+1, pad8(W2+1), 8cin) — as produced by
+    blocked_conv_a2o — -> aligned s2d (B, D2, H2, aligned_w, 8cout).
+    `aligned_w` = W2, the aligned block count along W (the offset tensor's
+    W axis carries sublane-alignment zero columns). Optional fused prologue
+    applies the previous norm's eval affine + leaky-relu in VMEM
+    (re-zeroing pad slots). Returns (y[, ysum, ysumsq])."""
+    bsz, d2p, h2p, w2p, _ = ys.shape
+    d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
+    assert w2p == _pad8(w2 + 1), (ys.shape, "expected a2o-padded W axis")
+    return _fused8_call(
+        ys, wblk8, variant="o2a", d_out=d2, h_out=h2, w_out=w2,
+        h_last=h2, w_last=w2, in_scale=in_scale, in_shift=in_shift,
+        neg_slope=neg_slope, want_stats=want_stats, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+def _make_dw_kernel(h2: int, w2: int):
+    """Weight-gradient kernel: dW_blk[tap] = sum over output blocks of
+    (shifted input slab)^T (output cotangent slab) — the exact adjoint of
+    the padded-27-tap forward, accumulated across the (batch, depth) grid
+    entirely in the s2d layout (the XLA fallback had to de-s2d both
+    tensors to f32 dense first)."""
+
+    def kernel(x_m1_ref, x_0_ref, x_p1_ref, g_ref, dw_ref):
+        z = pl.program_id(1)
+        b = pl.program_id(0)
+
+        @pl.when((z == 0) & (b == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        rows = (x_m1_ref[0, 0], x_0_ref[0, 0], x_p1_ref[0, 0])
+        g = g_ref[0, 0]                    # (h2, w2, 8cout)
+        tap = 0
+        for r in range(3):
+            base = rows[r]
+            for u in range(3):
+                su = base[u:u + h2]
+                for v in range(3):
+                    sl = su[:, v:v + w2, :]   # (h2, w2, 8cin)
+                    dw_ref[tap] += jax.lax.dot_general(
+                        sl, g, (((0, 1), (0, 1)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    tap += 1
+
+    return kernel
+
+
+def blocked_conv_s2d_dw(xs: jnp.ndarray, g: jnp.ndarray,
+                        interpret: bool) -> jnp.ndarray:
+    """dW in blocked form (27, 8cin, 8cout) f32 from aligned-s2d input and
+    output-cotangent. Spatial zero-pad on the input mirrors the forward."""
+    bsz, d2, h2, w2, c8 = xs.shape
+    cout8 = g.shape[-1]
+    xp = jnp.pad(xs, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def rowspec(off):
+        if off == 0:
+            return pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                                lambda b, z: (b, z, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if off == -1:
+            return pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                                lambda b, z: (b, jnp.maximum(z - 1, 0), 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                            lambda b, z: (b, jnp.minimum(z + 1, d2 - 1), 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    # depth-boundary correctness: rows z-1 / z+1 are clamped, so zero the
+    # contribution by zeroing the INPUT slab at the borders — do it on the
+    # XLA side by masking the first/last depth rows into dedicated pads
+    xlo = jnp.concatenate(
+        [jnp.zeros_like(xp[:, :1]), xp[:, :-1]], axis=1)
+    xhi = jnp.concatenate(
+        [xp[:, 1:], jnp.zeros_like(xp[:, :1])], axis=1)
+
+    return pl.pallas_call(
+        _make_dw_kernel(h2, w2),
+        grid=(bsz, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                         lambda b, z: (b, z, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                         lambda b, z: (b, z + 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2 + 2, w2 + 2, c8),
+                         lambda b, z: (b, z, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, cout8), lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((27, c8, cout8), lambda b, z: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27, c8, cout8), jnp.float32),
+        interpret=interpret,
+    )(xlo, xp, xhi, g)
+
+
+def unblock_dw(dwblk: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:
+    """(27, 8cin, 8cout) blocked weight-grad -> (3,3,3,cin,cout), the
+    adjoint of make_blocked_weights_aligned's tap-table expansion."""
+    global _TAP_TABLE27
+    if _TAP_TABLE27 is None:
+        make_blocked_weights_aligned(jnp.zeros((3, 3, 3, 1, 1)))
+    table = jnp.asarray(_TAP_TABLE27, dwblk.dtype)   # (27, 8, 8, 27)
+    dwp = dwblk.reshape(27, 8, cin, 8, cout)
+    dw27 = jnp.einsum("tpiqo,tpqk->kio", dwp, table)
+    return dw27.reshape(3, 3, 3, cin, cout)
+
+
+def make_blocked_weights_1x1(w: jnp.ndarray) -> jnp.ndarray:
+    """(cin, cout) -> (8cin, 8cout) block-diagonal 1x1 blocked weights."""
+    cin, cout = w.shape
+    wbig = jnp.zeros((8 * cin, 8 * cout), w.dtype)
+    for g in range(8):
+        wbig = wbig.at[g * cin:(g + 1) * cin, g * cout:(g + 1) * cout].set(w)
+    return wbig
+
+
 def blocked_conv_s2d_aligned(xs: jnp.ndarray, wblk: jnp.ndarray, cin: int,
                              cout8: int, out_dtype, interpret: bool) -> jnp.ndarray:
     """Blocked conv consuming the ALIGNED s2d tensor (B, D2, H2, W2, 8cin)."""
@@ -369,15 +933,16 @@ def fast_conv_supported(shape, cin: int, cout: int, kernel_size, stride) -> bool
     def pad_to(v, m):
         return (v + m - 1) // m * m
 
-    cin_eff = max(cin, 16)
+    cin_eff = max(cin, 2)
     h2, w2 = h // 2, w // 2
-    # VMEM estimate with Mosaic (8,128) tiling padding: 2 input specs x
-    # double buffering, double-buffered output, f32 accumulator, weights
-    slab = (h2 + 1) * pad_to(w2 + 1, 8) * pad_to(8 * cin_eff, 128) * 2
+    # VMEM estimate for the padded-27-tap kernel with Mosaic (8,128) tiling:
+    # 3 double-buffered input slabs, double-buffered output, f32 accumulator,
+    # 27-tap weights — against the 16M scoped budget with headroom
+    slab = (h2 + 2) * pad_to(w2 + 2, 8) * pad_to(8 * cin_eff, 128) * 2
     out_b = h2 * pad_to(w2, 8) * pad_to(8 * cout, 128) * 2
     acc = h2 * pad_to(w2, 8) * pad_to(8 * cout, 128) * 4
-    wbytes = 8 * 8 * cin_eff * 8 * cout * 2
-    return 4 * slab + 2 * out_b + acc + wbytes < 11 * 1024 * 1024
+    wbytes = 27 * pad_to(8 * cin_eff, 128) * 8 * cout * 2
+    return 6 * slab + 2 * out_b + acc + wbytes < 15 * 1024 * 1024
 
 
 def reference_conv3x3(x, w, b=None):

@@ -102,7 +102,8 @@ class _MSDSACore(nn.Module):
     supports_s2d_input = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, x_is_s2d: bool = False):
+    def __call__(self, x, *, train: bool = False, x_is_s2d: bool = False,
+                 emit_s2d_logits: bool = False):
         from fcd_tpu.ops.blocks import _s2d_block_eligible
         from fcd_tpu.ops.s2d_ops import from_s2d, max_pool_2x_s2d_exit
 
@@ -225,8 +226,18 @@ class _MSDSACore(nn.Module):
             from fcd_tpu.ops.s2d_ops import from_s2d
 
             logits_s2d = head(s2d_parts=[(y1, fs)])
+            if emit_s2d_logits:
+                # sliding-window engines blend in s2d space: the lane-
+                # sparse (C=out_channels) full-resolution exit transpose
+                # happens once per volume, not once per patch
+                return logits_s2d
             return from_s2d(logits_s2d, self.out_channels)
-        return head(y1)
+        logits = head(y1)
+        if emit_s2d_logits:
+            from fcd_tpu.ops.s2d_ops import to_s2d
+
+            return to_s2d(logits)
+        return logits
 
 
 def MS_DSA_NET(**kwargs) -> _MSDSACore:

@@ -80,6 +80,8 @@ class UnetResBlock(nn.Module):
         return 0.01
 
     def _s2d_forward(self, parts, train: bool, emit_s2d: bool = False):
+        import os
+
         from fcd_tpu.ops.s2d_ops import (
             from_s2d,
             instance_norm_s2d,
@@ -89,6 +91,44 @@ class UnetResBlock(nn.Module):
         slope = self._neg_slope()
         oc = self.out_channels
         cin_total = sum(c for _, c in parts)
+
+        # eval: fully kernel-fused block (3 fused conv passes + 1 elementwise
+        # instead of ~10 memory passes). Forward-only — training keeps the
+        # differentiable composition below.
+        if (not train and not self.use_bias
+                and os.environ.get("FCD_FUSED_BLOCK", "1") != "0"):
+            from fcd_tpu.ops.layers import BatchNorm
+            from fcd_tpu.ops.s2d_ops import fused_resblock_eval
+
+            need_res = cin_total != oc or len(parts) > 1
+            is_batch = self.norm_name == "batch"
+            # module creation order mirrors the composed path exactly, so
+            # the param/batch_stats trees are identical across paths
+            w1, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
+                           dtype=self.dtype)(return_kernel_for=cin_total)
+            a1 = (BatchNorm(use_running_average=True)(return_affine_for=oc)
+                  if is_batch else None)
+            w2, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
+                           dtype=self.dtype)(return_kernel_for=oc)
+            a2 = (BatchNorm(use_running_average=True)(return_affine_for=oc)
+                  if is_batch else None)
+            wres = ar = None
+            if need_res:
+                wres_k, _ = Conv3d(oc, 1, 1, use_bias=False,
+                                   dtype=self.dtype)(return_kernel_for=cin_total)
+                wres = wres_k[0, 0, 0]
+                ar = (BatchNorm(use_running_average=True)(return_affine_for=oc)
+                      if is_batch else None)
+            out = fused_resblock_eval(
+                parts, w1, w2, wres, oc, slope,
+                norm_name=self.norm_name,
+                bn_affines=(a1, a2, ar) if is_batch else None,
+                out_dtype=jnp.bfloat16 if self.dtype == jnp.bfloat16
+                else jnp.float32,
+            )
+            if emit_s2d:
+                return out
+            return from_s2d(out, oc)
 
         if self.norm_name == "batch":
             from fcd_tpu.ops.layers import BatchNorm

@@ -113,14 +113,22 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, *, s2d_channels: Optional[int] = None):
-        c = s2d_channels if s2d_channels is not None else x.shape[-1]
+    def __call__(self, x=None, *, s2d_channels: Optional[int] = None,
+                 return_affine_for: Optional[int] = None):
+        c = (return_affine_for if return_affine_for is not None
+             else s2d_channels if s2d_channels is not None else x.shape[-1])
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if return_affine_for is not None:
+            # eval-mode affine of this norm (y = x*w + b) from the running
+            # stats, for callers that fuse it into a conv kernel prologue
+            w = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return w, bias - ra_mean.value * w
 
         xf = x.astype(jnp.float32)
         if self.use_running_average:
@@ -245,9 +253,13 @@ class Conv3d(nn.Module):
         return kernel, bias
 
     @nn.compact
-    def __call__(self, x=None, *, s2d_parts=None):
+    def __call__(self, x=None, *, s2d_parts=None, return_kernel_for=None):
         from fcd_tpu.kernels.block_conv import blocked_conv3x3, fast_conv_supported
 
+        if return_kernel_for is not None:
+            # block-level kernel fusion: create this conv's params (same
+            # tree as a normal call) and hand them to the caller
+            return self._params(int(return_kernel_for))
         if s2d_parts is not None:
             return self._s2d_forward(s2d_parts)
 

@@ -116,17 +116,14 @@ def _conv3x3_s2d_bwd(out_dtype, res, g):
     # dx: conv of g with spatially-flipped, channel-transposed weights
     w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     dxs = _conv3x3_s2d_fwd_impl(g, w_flip, jnp.float32).astype(xs.dtype)
-    # dw: XLA conv weight-grad on the de-s2d'd tensors (backward-only cost)
-    x_full = from_s2d(xs.astype(jnp.float32), cin)
-    g_full = from_s2d(g.astype(jnp.float32), cout)
-    _, w_vjp = jax.vjp(
-        lambda wv: jax.lax.conv_general_dilated(
-            x_full, wv, (1, 1, 1), [(1, 1)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ),
-        w.astype(jnp.float32),
-    )
-    (dw,) = w_vjp(g_full)
+    # dw: blocked weight-grad kernel, fully s2d-resident (the earlier XLA
+    # fallback de-s2d'd both tensors to f32 dense — ~10x the HBM traffic)
+    from fcd_tpu.kernels.block_conv import blocked_conv_s2d_dw, unblock_dw
+
+    interpret = jax.default_backend() != "tpu"
+    dwblk = blocked_conv_s2d_dw(xs.astype(jnp.bfloat16),
+                                g.astype(jnp.bfloat16), interpret)
+    dw = unblock_dw(dwblk, cin, cout)
     return dxs, dw.astype(w.dtype)
 
 
@@ -195,6 +192,287 @@ def upsample2x_into_s2d(x: jnp.ndarray, w: jnp.ndarray,
     if b is not None:
         out = out + jnp.tile(b, 8).astype(out.dtype)
     return out
+
+
+def _inorm_affine_from_sums(s1: jnp.ndarray, s2: jnp.ndarray, c: int,
+                            n: int, eps: float = 1e-5):
+    """Instance-norm scale/shift (B, 8c) from per-lane sums (B, 8c):
+    regroup the 8 parity copies per true channel, n = total voxels."""
+    b = s1.shape[0]
+    g1 = s1.reshape(b, 8, c).sum(axis=1)
+    g2 = s2.reshape(b, 8, c).sum(axis=1)
+    mean = g1 / n
+    var = jnp.maximum(g2 / n - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    shift = -mean * scale
+    return jnp.tile(scale, (1, 8)), jnp.tile(shift, (1, 8))
+
+
+def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
+                          norm_name: str, bn_affines, out_dtype):
+    """Eval-mode UnetResBlock via the HALF-OFFSET 8-tap kernel pair:
+    conv1 runs aligned->offset, conv2 offset->aligned (with norm1 + act
+    fused into its VMEM prologue), so each conv carries only 64/27 = 2.37x
+    FLOP redundancy instead of the 27-tap form's 8x. The projection
+    shortcut is a separate block-diagonal 1x1 matmul on the aligned input
+    (bytes-bound; fusing it into conv1 would exceed scoped VMEM at the
+    full-resolution shapes)."""
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o,
+        blocked_conv_o2a,
+        make_blocked_weights_8tap,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    b = parts[0][0].shape[0]
+    d2, h2, w2s = parts[0][0].shape[1:4]
+    n_vox = d2 * h2 * w2s * 8
+    is_batch = norm_name == "batch"
+    want_stats = not is_batch
+    need_res = wres is not None
+    single = len(parts) == 1
+
+    # --- conv1: aligned -> offset, summed over input parts ---
+    y1 = None
+    s1sum = s1sq = None
+    off = 0
+    for xs, c in parts:
+        w1p = w1[..., off:off + c, :].astype(jnp.float32)
+        if c < 16:
+            # Mosaic rejects the odd-slab shape cast on sub-128-lane
+            # operands; pad the parity groups (and weights) to c=16
+            b_, d_, h_, w_ = xs.shape[:4]
+            xs = jnp.pad(
+                xs.reshape(b_, d_, h_, w_, 8, c),
+                ((0, 0),) * 4 + ((0, 0), (0, 16 - c)),
+            ).reshape(b_, d_, h_, w_, 8 * 16)
+            w1p = jnp.pad(w1p, ((0, 0),) * 3 + ((0, 16 - c), (0, 0)))
+        wblk = make_blocked_weights_8tap(w1p).astype(jnp.bfloat16)
+        outs = blocked_conv_a2o(
+            xs.astype(jnp.bfloat16), wblk, want_stats=want_stats and single,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+        yi = outs[0]
+        if want_stats and single:
+            s1sum, s1sq = outs[1], outs[2]
+        y1 = yi if y1 is None else y1 + yi
+        off += c
+
+    if want_stats and not single:
+        # stats of the part-sum cannot be accumulated per part (cross
+        # terms); like the composed path, taken on the out_dtype sum —
+        # pad-slot lanes are exact zeros so the sums are over true voxels
+        y1f = y1.astype(jnp.float32)
+        s1sum = jnp.sum(y1f, axis=(1, 2, 3)).reshape(b, 1, -1)
+        s1sq = jnp.sum(jnp.square(y1f), axis=(1, 2, 3)).reshape(b, 1, -1)
+
+    # --- projection shortcut (aligned, block-diag 1x1) ---
+    r = None
+    if need_res:
+        off = 0
+        for xs, c in parts:
+            ri = conv1x1_s2d(xs, wres[off:off + c])
+            r = ri if r is None else r + ri
+            off += c
+
+    # --- norm1 affine -> conv2 prologue ---
+    if is_batch:
+        wn, bn = bn_affines[0]
+        scale1 = jnp.broadcast_to(jnp.tile(wn, 8)[None], (b, 8 * oc))
+        shift1 = jnp.broadcast_to(jnp.tile(bn, 8)[None], (b, 8 * oc))
+    else:
+        scale1, shift1 = _inorm_affine_from_sums(
+            s1sum.reshape(b, -1), s1sq.reshape(b, -1), oc, n_vox)
+
+    w2blk = make_blocked_weights_8tap(
+        w2.astype(jnp.float32)).astype(jnp.bfloat16)
+    outs2 = blocked_conv_o2a(
+        y1, w2blk, w2s, in_scale=scale1, in_shift=shift1, neg_slope=slope,
+        want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
+    )
+    y2 = outs2[0]
+
+    # --- norm2 + residual norm + add + act (one fused XLA pass) ---
+    if is_batch:
+        wn2, bn2 = bn_affines[1]
+        scale2 = jnp.tile(wn2, 8)[None, None, None, None, :]
+        shift2 = jnp.tile(bn2, 8)[None, None, None, None, :]
+    else:
+        sc, sh = _inorm_affine_from_sums(
+            outs2[1].reshape(b, -1), outs2[2].reshape(b, -1), oc, n_vox)
+        scale2 = sc[:, None, None, None, :]
+        shift2 = sh[:, None, None, None, :]
+
+    if need_res:
+        if is_batch:
+            wnr, bnr = bn_affines[2]
+            res = (r.astype(jnp.float32)
+                   * jnp.tile(wnr, 8)[None, None, None, None, :]
+                   + jnp.tile(bnr, 8)[None, None, None, None, :])
+        else:
+            rf = r.astype(jnp.float32)
+            rsum = jnp.sum(rf, axis=(1, 2, 3)).reshape(b, -1)
+            rsq = jnp.sum(jnp.square(rf), axis=(1, 2, 3)).reshape(b, -1)
+            scr, shr = _inorm_affine_from_sums(rsum, rsq, oc, n_vox)
+            res = (rf * scr[:, None, None, None, :]
+                   + shr[:, None, None, None, :])
+    else:
+        res = parts[0][0].astype(jnp.float32)
+
+    out = y2.astype(jnp.float32) * scale2 + shift2 + res
+    out = jnp.where(out >= 0, out, slope * out)
+    return out.astype(out_dtype)
+
+
+def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
+                        norm_name: str = "instance", bn_affines=None,
+                        out_dtype=jnp.bfloat16):
+    """Eval-mode UnetResBlock on aligned s2d parts with kernel-fused norms.
+
+    Three fused kernel passes replace the ~10 memory passes of the
+    composed form: conv1 (+ fused 1x1 residual sharing the input reads,
+    + output statistics), conv2 (with norm1+activation applied in its
+    VMEM prologue, + statistics), and one XLA elementwise finale
+    (norm2 + residual-norm + add + activation). Forward-only (no VJP) —
+    callers gate on eval.
+
+    w1: (3,3,3,cin_total,oc), w2: (3,3,3,oc,oc), wres: (cin_total,oc)|None.
+    bn_affines (norm 'batch'): ((w,b) eval affines per norm, (c,) each)
+    in order (norm1, norm2, norm_res|None).
+    """
+    import os
+
+    if os.environ.get("FCD_CONV8", "1") != "0":
+        return _fused_resblock_eval8(parts, w1, w2, wres, oc, slope,
+                                     norm_name, bn_affines, out_dtype)
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_s2d_fused,
+        make_blocked_weights_1x1,
+        make_blocked_weights_aligned,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    b = parts[0][0].shape[0]
+    d2, h2, w2s = parts[0][0].shape[1:4]
+    n_vox = d2 * h2 * w2s * 8
+    is_batch = norm_name == "batch"
+    want_stats = not is_batch
+    need_res = wres is not None
+
+    def pad8(v, m):
+        return (v + m - 1) // m * m
+
+    def vmem_ok(c8, cout8, with_res):
+        # double-buffered slabs/outputs/weights + f32 accumulator temps,
+        # against the 16M scoped-vmem budget (with headroom — Mosaic's
+        # stack accounting runs well above the naive sum)
+        slab = (h2 + 2) * pad8(w2s + 2, 8) * pad8(c8, 128) * 2
+        outb = h2 * pad8(w2s, 8) * pad8(cout8, 128) * 2
+        acc = h2 * pad8(w2s, 8) * pad8(cout8, 128) * 4
+        wb = 27 * pad8(c8, 128) * cout8 * 2
+        total = 6 * slab + 2 * outb + 2 * acc + 2 * wb
+        if with_res:
+            total += 2 * outb + acc
+        return total < 12 * 1024 * 1024
+
+    # the fused 1x1-residual output costs an extra out buffer + accumulator;
+    # at the largest grids that exceeds scoped VMEM — compute the residual
+    # as a separate block-diag matmul there instead
+    res_in_kernel = need_res and all(
+        vmem_ok(8 * c, w1.shape[-1] * 8, True) for _, c in parts)
+
+    # --- conv1 (+ residual + stats), summed over input parts ---
+    y1 = r = None
+    s1sum = s1sq = rsum = rsq = None
+    off = 0
+    single = len(parts) == 1
+    for xs, c in parts:
+        wblk = make_blocked_weights_aligned(
+            w1[..., off:off + c, :].astype(jnp.float32)).astype(jnp.bfloat16)
+        res_wblk = None
+        if res_in_kernel:
+            res_wblk = make_blocked_weights_1x1(
+                wres[off:off + c].astype(jnp.float32)).astype(jnp.bfloat16)
+        outs = blocked_conv_s2d_fused(
+            xs.astype(jnp.bfloat16), wblk,
+            res_wblk=res_wblk, want_stats=want_stats and single,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+        i = 0
+        yi = outs[i]; i += 1
+        if want_stats and single:
+            s1sum, s1sq = outs[i], outs[i + 1]; i += 2
+        if res_in_kernel:
+            ri = outs[i]; i += 1
+            if want_stats and single:
+                rsum, rsq = outs[i], outs[i + 1]; i += 2
+            r = ri if r is None else r + ri
+        elif need_res:
+            ri = conv1x1_s2d(xs, wres[off:off + c])
+            r = ri if r is None else r + ri
+        y1 = yi if y1 is None else y1 + yi
+        off += c
+
+    if single and need_res and not res_in_kernel and want_stats:
+        rf = r.astype(jnp.float32)
+        rsum = jnp.sum(rf, axis=(1, 2, 3)).reshape(b, 1, -1)
+        rsq = jnp.sum(jnp.square(rf), axis=(1, 2, 3)).reshape(b, 1, -1)
+
+    if not single and want_stats:
+        # stats of the part-sum cannot be accumulated per part (cross terms);
+        # like the composed path, they are taken on the out_dtype sum
+        y1f = y1.astype(jnp.float32)
+        s1sum = jnp.sum(y1f, axis=(1, 2, 3)).reshape(b, 1, -1)
+        s1sq = jnp.sum(jnp.square(y1f), axis=(1, 2, 3)).reshape(b, 1, -1)
+        if need_res:
+            rf = r.astype(jnp.float32)
+            rsum = jnp.sum(rf, axis=(1, 2, 3)).reshape(b, 1, -1)
+            rsq = jnp.sum(jnp.square(rf), axis=(1, 2, 3)).reshape(b, 1, -1)
+
+    # --- norm1 affine -> conv2 prologue ---
+    if is_batch:
+        wn, bn = bn_affines[0]
+        scale1 = jnp.broadcast_to(jnp.tile(wn, 8)[None], (b, 8 * oc))
+        shift1 = jnp.broadcast_to(jnp.tile(bn, 8)[None], (b, 8 * oc))
+    else:
+        scale1, shift1 = _inorm_affine_from_sums(
+            s1sum.reshape(b, -1), s1sq.reshape(b, -1), oc, n_vox)
+
+    w2blk = make_blocked_weights_aligned(
+        w2.astype(jnp.float32)).astype(jnp.bfloat16)
+    outs2 = blocked_conv_s2d_fused(
+        y1, w2blk, in_scale=scale1, in_shift=shift1, neg_slope=slope,
+        want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
+    )
+    y2 = outs2[0]
+
+    # --- norm2 + residual norm + add + act (one fused XLA pass) ---
+    if is_batch:
+        wn2, bn2 = bn_affines[1]
+        scale2 = jnp.tile(wn2, 8)[None, None, None, None, :]
+        shift2 = jnp.tile(bn2, 8)[None, None, None, None, :]
+    else:
+        sc, sh = _inorm_affine_from_sums(
+            outs2[1].reshape(b, -1), outs2[2].reshape(b, -1), oc, n_vox)
+        scale2 = sc[:, None, None, None, :]
+        shift2 = sh[:, None, None, None, :]
+
+    if need_res:
+        if is_batch:
+            wnr, bnr = bn_affines[2]
+            res = (r.astype(jnp.float32) * jnp.tile(wnr, 8)[None, None, None, None, :]
+                   + jnp.tile(bnr, 8)[None, None, None, None, :])
+        else:
+            scr, shr = _inorm_affine_from_sums(
+                rsum.reshape(b, -1), rsq.reshape(b, -1), oc, n_vox)
+            res = (r.astype(jnp.float32) * scr[:, None, None, None, :]
+                   + shr[:, None, None, None, :])
+    else:
+        res = parts[0][0].astype(jnp.float32)
+
+    out = y2.astype(jnp.float32) * scale2 + shift2 + res
+    out = jnp.where(out >= 0, out, slope * out)
+    return out.astype(out_dtype)
 
 
 def s2d_supported(shape: Sequence[int], cin: int, cout: int) -> bool:

@@ -113,13 +113,17 @@ def make_train_step(
 
 
 def make_eval_fn(model, *, model_returns_vaeloss: bool = False,
-                 x_is_s2d: bool = False) -> Callable:
+                 x_is_s2d: bool = False, s2d_logits: bool = False) -> Callable:
     """Parameter-bound jittable predictor (B,...,C_in)->(B,...,C_out) logits,
     for direct eval and as the sliding-window predictor. With x_is_s2d the
-    model consumes space-to-depth patches (models with supports_s2d_input)."""
+    model consumes space-to-depth patches (models with supports_s2d_input);
+    with s2d_logits it also emits s2d logits (B,...,8*C_out) for engines
+    that blend in s2d space."""
 
     def predict(variables, image):
         kwargs = {"x_is_s2d": True} if x_is_s2d else {}
+        if s2d_logits:
+            kwargs["emit_s2d_logits"] = True
         out = model.apply(
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", FrozenDict())},

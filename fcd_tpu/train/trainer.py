@@ -110,6 +110,7 @@ class ModelTrainer:
             self.model, model_returns_vaeloss=self.params["model_returns_vaeloss"]
         )
         self._predict_s2d = None
+        self._predict_s2d_logits = None
         self.wandb = _get_wandb(params)
         self.init_stats()
 
@@ -187,13 +188,20 @@ class ModelTrainer:
             and jax.default_backend() == "tpu"
             and patch_s2d_compatible(volume.shape[:3], roi, overlap)
         )
+        # s2d logits (blend on the s2d grid) only for models whose head can
+        # emit them; the single-device engine supports it, the sharded one
+        # blends densely
+        use_s2d_logits = use_s2d_patches and self.mesh is None
         if use_s2d_patches:
-            if self._predict_s2d is None:
+            if self._predict_s2d is None or \
+                    self._predict_s2d_logits != use_s2d_logits:
                 self._predict_s2d = make_eval_fn(
                     self.model,
                     model_returns_vaeloss=self.params["model_returns_vaeloss"],
                     x_is_s2d=True,
+                    s2d_logits=use_s2d_logits,
                 )
+                self._predict_s2d_logits = use_s2d_logits
             predict = self._predict_s2d
         else:
             predict = self.predict
@@ -231,6 +239,7 @@ class ModelTrainer:
             sigma_scale=p.get("sw_sigma_scale", 0.125),
             compute_dtype=compute_dtype,
             patch_s2d=use_s2d_patches,
+            s2d_logits=use_s2d_logits,
         )
 
     def _activate(self, logits: np.ndarray) -> np.ndarray:
@@ -334,6 +343,13 @@ class ModelTrainer:
             "epoch_time": elapsed_time,
         }
         if self.wandb is not None and getattr(self.wandb, "run", None) is not None:
+            # wandb.watch() is torch-module-specific; the flax analogue of its
+            # parameter tracking (train.py:336) is an explicit global param
+            # norm logged per epoch
+            leaves = jax.tree_util.tree_leaves(self.state.params)
+            values = {**values, "param_global_norm": float(
+                jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                             for l in leaves)))}
             self.wandb.log(values)
         if csv_path:
             if epoch == 0 or self.log_keys is None or not os.path.exists(csv_path):
@@ -393,6 +409,7 @@ class ModelTrainer:
             cd_prob, gm_prob = scheduled_probs(p, epoch)
 
             epoch_loss, step_count = 0.0, 0
+            n_steps = -(-len(train_ds) // max(p.get("batch_size", 1), 1))
             for images, labels in train_loader:
                 self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
                 xb = jnp.asarray(images)
@@ -424,7 +441,14 @@ class ModelTrainer:
                 self.state, loss = step(self.state, xb, yb, lr, step_key)
                 epoch_loss += float(loss)
                 step_count += 1
+                if self.verbose:
+                    # live running-loss progress (train.py:363,392 tqdm UX)
+                    print(f"\r  {step_count}/{n_steps} "
+                          f"loss: {epoch_loss / step_count:.4f}",
+                          end="", flush=True)
 
+            if self.verbose and step_count:
+                print(flush=True)
             epoch_loss /= max(step_count, 1)
 
             val_metrics, val_loss = {}, None

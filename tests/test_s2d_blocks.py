@@ -297,3 +297,99 @@ def test_conv3x3_s2d_forms_match_reference(form, monkeypatch):
     got = np.asarray(from_s2d(conv3x3_s2d(to_s2d(x), w, jnp.float32), 8))
     want = np.asarray(reference_conv3x3(x, w))
     np.testing.assert_allclose(got, want, atol=0.02 * np.abs(want).max())
+
+
+def _composed_resblock_ref(x, w1, w2, wres, slope=0.01):
+    """f32 oracle: conv-inorm-act -> conv-inorm (+ inorm'd 1x1 residual) -> act."""
+    from fcd_tpu.kernels.block_conv import reference_conv3x3
+
+    def inorm(y):
+        m = y.mean(axis=(1, 2, 3), keepdims=True)
+        v = y.var(axis=(1, 2, 3), keepdims=True)
+        return (y - m) / np.sqrt(v + 1e-5)
+
+    def act(y):
+        return jnp.where(y >= 0, y, slope * y)
+
+    t = act(inorm(jnp.asarray(reference_conv3x3(x, w1), jnp.float32)))
+    y2 = inorm(jnp.asarray(reference_conv3x3(t, w2), jnp.float32))
+    if wres is not None:
+        r = inorm(jnp.einsum("bdhwc,co->bdhwo", x, wres).astype(jnp.float32))
+    else:
+        r = x
+    return act(y2 + r)
+
+
+@pytest.mark.parametrize("conv8", ["1", "0"])
+@pytest.mark.parametrize(
+    "shape,cin", [((8, 8, 8), 16), ((8, 16, 24), 16), ((8, 8, 8), 2)]
+)
+def test_fused_resblock_eval_matches_composed(monkeypatch, conv8, shape, cin):
+    """Both kernel-fused eval forms (8-tap half-offset pair and 27-tap) match
+    the composed f32 reference at bf16 tolerance, incl. non-cubic shapes and
+    the lane-padded stem (cin=2)."""
+    from fcd_tpu.ops.s2d_ops import fused_resblock_eval
+
+    monkeypatch.setenv("FCD_CONV8", conv8)
+    rng = np.random.RandomState(11)
+    oc = 16
+    d, h, w = shape
+    x = jnp.asarray(rng.rand(1, d, h, w, cin).astype(np.float32)) - 0.5
+    w1 = jnp.asarray(rng.rand(3, 3, 3, cin, oc).astype(np.float32)) * 0.4 - 0.2
+    w2 = jnp.asarray(rng.rand(3, 3, 3, oc, oc).astype(np.float32)) * 0.4 - 0.2
+    wres = jnp.asarray(rng.rand(cin, oc).astype(np.float32)) * 0.4 - 0.2
+    want = np.asarray(_composed_resblock_ref(x, w1, w2, wres))
+    got = np.asarray(from_s2d(
+        fused_resblock_eval([(to_s2d(x), cin)], w1, w2, wres, oc, 0.01,
+                            out_dtype=jnp.float32), oc))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+def test_fused_resblock_eval_cat_parts(monkeypatch):
+    from fcd_tpu.ops.s2d_ops import fused_resblock_eval
+
+    monkeypatch.setenv("FCD_CONV8", "1")
+    rng = np.random.RandomState(12)
+    oc = 16
+    a = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32)) - 0.5
+    b = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32)) - 0.5
+    w1 = jnp.asarray(rng.rand(3, 3, 3, 32, oc).astype(np.float32)) * 0.4 - 0.2
+    w2 = jnp.asarray(rng.rand(3, 3, 3, oc, oc).astype(np.float32)) * 0.4 - 0.2
+    wres = jnp.asarray(rng.rand(32, oc).astype(np.float32)) * 0.4 - 0.2
+    want = np.asarray(
+        _composed_resblock_ref(jnp.concatenate([a, b], -1), w1, w2, wres))
+    got = np.asarray(from_s2d(
+        fused_resblock_eval([(to_s2d(a), 16), (to_s2d(b), 16)], w1, w2, wres,
+                            oc, 0.01, out_dtype=jnp.float32), oc))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+def test_blocked_conv_8tap_pair_matches_reference_conv():
+    """a2o then o2a (identity prologue) == two chained 3x3x3 'same' convs."""
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o,
+        blocked_conv_o2a,
+        make_blocked_weights_8tap,
+        reference_conv3x3,
+    )
+
+    rng = np.random.RandomState(13)
+    c = 16
+    x = jnp.asarray(rng.rand(1, 8, 12, 16, c).astype(np.float32)) - 0.5
+    wa = jnp.asarray(rng.rand(3, 3, 3, c, c).astype(np.float32)) * 0.4 - 0.2
+    wb = jnp.asarray(rng.rand(3, 3, 3, c, c).astype(np.float32)) * 0.4 - 0.2
+    y1 = blocked_conv_a2o(
+        to_s2d(x).astype(jnp.bfloat16),
+        make_blocked_weights_8tap(wa).astype(jnp.bfloat16),
+        out_dtype=jnp.float32, interpret=True)[0]
+    y2 = blocked_conv_o2a(
+        y1.astype(jnp.bfloat16),
+        make_blocked_weights_8tap(wb).astype(jnp.bfloat16),
+        x.shape[3] // 2, out_dtype=jnp.float32, interpret=True)[0]
+    got = np.asarray(from_s2d(y2, c))
+    want = np.asarray(reference_conv3x3(
+        jnp.asarray(reference_conv3x3(x, wa), jnp.float32), wb))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)

@@ -103,3 +103,31 @@ def test_patch_s2d_compatibility_rules():
     assert patch_s2d_compatible((182, 218, 182), (128, 128, 128), 0.25)
     assert not patch_s2d_compatible((183, 218, 182), (128, 128, 128), 0.25)
     assert not patch_s2d_compatible((182, 218, 182), (127, 128, 128), 0.25)
+
+
+def test_s2d_blend_matches_dense_blend():
+    """s2d-space blending (s2d patches in, s2d logits out, lane-dense
+    accumulators) is bit-equivalent to the dense engine."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fcd_tpu.infer.sliding_window import sliding_window_inference
+    from fcd_tpu.kernels.block_conv import depth_to_space, space_to_depth
+
+    o = 2
+    wm = jnp.asarray(np.random.RandomState(1).rand(3, o).astype(np.float32))
+
+    def pred_dense(p):
+        return jnp.einsum("bdhwc,co->bdhwo", p.astype(jnp.float32), wm)
+
+    def pred_s2d(p):
+        return space_to_depth(pred_dense(depth_to_space(p, 3)))
+
+    vol = jnp.asarray(
+        np.random.RandomState(0).rand(48, 64, 40, 3).astype(np.float32))
+    kw = dict(roi_size=(32, 32, 32), out_channels=o, sw_batch=1,
+              overlap=0.25, blend="gaussian", compute_dtype=jnp.float32)
+    ref = sliding_window_inference(vol, pred_dense, **kw)
+    got = sliding_window_inference(vol, pred_s2d, patch_s2d=True,
+                                   s2d_logits=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
