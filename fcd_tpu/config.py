@@ -36,6 +36,7 @@ def get_default_params() -> Dict[str, Any]:
     # -- data loading / batching ---------------------------------------------
     params['num_workers'] = 4
     params['samples_per_case'] = 4
+    params['augment'] = True                  # random train-time augmentation chain
     params['batch_size'] = 1
     params['gradient_accumulation_steps'] = 1
     params['use_amp'] = True                  # on TPU: bfloat16 compute policy

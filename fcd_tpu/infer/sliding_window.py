@@ -104,9 +104,9 @@ def _sliding_window_jit(
     if patch_s2d:
         # one volume-level s2d transform; patches gather lane-dense slabs
         # (starts are even: even roi, interval = 0.75*roi, even padded dims)
-        from fcd_tpu.kernels.block_conv import space_to_depth
+        from fcd_tpu.kernels.block_conv import space_to_depth_fast
 
-        vol_c = space_to_depth(vol_c[None])[0]
+        vol_c = space_to_depth_fast(vol_c[None])[0]
 
         def gather(start):
             return jax.lax.dynamic_slice(

@@ -79,6 +79,55 @@ def depth_to_space(x: jnp.ndarray, cout: int) -> jnp.ndarray:
     return x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d2 * 2, h2 * 2, w2 * 2, cout)
 
 
+@functools.lru_cache(maxsize=8)
+def _s2d_conv_weights(c: int):
+    w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
+    for kz in range(2):
+        for ky in range(2):
+            for kx in range(2):
+                q = 4 * kz + 2 * ky + kx
+                for ch in range(c):
+                    w[kz, ky, kx, ch, q * c + ch] = 1.0
+    return jnp.asarray(w)
+
+
+@functools.lru_cache(maxsize=8)
+def _d2s_conv_weights(c: int):
+    w = np.zeros((2, 2, 2, 8 * c, c), np.float32)
+    for kz in range(2):
+        for ky in range(2):
+            for kx in range(2):
+                p = 4 * (1 - kz) + 2 * (1 - ky) + (1 - kx)
+                for ch in range(c):
+                    w[kz, ky, kx, p * c + ch, ch] = 1.0
+    return jnp.asarray(w)
+
+
+def space_to_depth_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """space_to_depth as a stride-2 one-hot conv (precision HIGHEST, exact).
+
+    XLA's conv path lays this out ~3x faster than the reshape+transpose
+    form on full volumes (11.8 -> 3.9 ms at 182x218x182x2 f32 on v5e) —
+    use for volume-level transforms; the reshape form is fine for small
+    tensors."""
+    c = x.shape[-1]
+    w = _s2d_conv_weights(int(c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, w, (2, 2, 2), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def depth_to_space_fast(xs: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """depth_to_space as an lhs-dilated one-hot conv (exact); avoids the
+    pathological in-context layout copies of the reshape+transpose form."""
+    w = _d2s_conv_weights(int(cout)).astype(xs.dtype)
+    return jax.lax.conv_general_dilated(
+        xs, w, (1, 1, 1), [(1, 1)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _conv_kernel(x_lo_ref, x_hi_ref, w_ref, out_ref, acc_ref):
     """One (batch, depth-row) step: s2d output row Z from s2d rows Z, Z+1.
 
@@ -919,15 +968,22 @@ def _bwd(out_dtype, interpret, res, g):
 blocked_conv3x3.defvjp(_fwd, _bwd)
 
 
-def fast_conv_supported(shape, cin: int, cout: int, kernel_size, stride) -> bool:
+def fast_conv_supported(shape, cin: int, cout: int, kernel_size, stride,
+                        taps: int = 27) -> bool:
     """Applicability: k3 s1, even spatial dims, channel counts where the
-    blocked GEMM beats XLA's direct conv, VMEM-fitting slabs."""
+    blocked GEMM beats XLA's direct conv, VMEM-fitting slabs.
+
+    taps=27: the differentiable padded-27-tap form (training path, default
+    16M scoped VMEM). taps=8: the eval-only half-offset pair, which runs
+    with a raised VMEM limit and much smaller weights — wider channel
+    range (e.g. the 64->128 level-4 encoder qualifies)."""
     if tuple(kernel_size) != (3, 3, 3) or tuple(stride) != (1, 1, 1):
         return False
     d, h, w = shape
     if d % 2 or h % 2 or w % 2 or min(d, h, w) < 8:
         return False
-    if cin > 64 or cout > 64 or cout < 8:
+    cmax = 128 if taps == 8 else 64
+    if cin > cmax or cout > cmax or cout < 8:
         return False
 
     def pad_to(v, m):
@@ -935,6 +991,17 @@ def fast_conv_supported(shape, cin: int, cout: int, kernel_size, stride) -> bool
 
     cin_eff = max(cin, 2)
     h2, w2 = h // 2, w // 2
+    if taps == 8:
+        # fused8 geometry: 2 double-buffered padded slabs, offset-blocked
+        # output (+1 block, W sublane-padded), f32 accumulator, 8-tap
+        # weights — against the raised (100M) scoped-VMEM budget
+        w_out = pad_to(w2 + 1, 8)
+        w_in = pad_to(w_out + 1, 8)
+        slab = (h2 + 2) * w_in * pad_to(8 * cin_eff, 128) * 2
+        out_b = (h2 + 1) * w_out * pad_to(8 * cout, 128) * 2
+        acc = (h2 + 1) * w_out * pad_to(8 * cout, 128) * 4
+        wbytes = 8 * pad_to(8 * cin_eff, 128) * 8 * cout * 2
+        return 4 * slab + 2 * out_b + 2 * acc + wbytes < 80 * 1024 * 1024
     # VMEM estimate for the padded-27-tap kernel with Mosaic (8,128) tiling:
     # 3 double-buffered input slabs, double-buffered output, f32 accumulator,
     # 27-tap weights — against the 16M scoped budget with headroom

@@ -26,18 +26,24 @@ from fcd_tpu.ops.layers import (
 
 
 def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
-                        act_name, dtype, part_channels=None) -> bool:
+                        act_name, dtype, part_channels=None,
+                        taps: int = 27) -> bool:
     """Can this residual block run s2d-resident on the current backend?
 
     `part_channels`: when the block input is a (never-materialized) concat
     of s2d parts, each part is convolved separately — eligibility is then
     per-part input width, not the total.
+    `taps=8`: the eval-only half-offset kernel pair tier (wider channel
+    range, forward-only — callers must gate on eval).
     """
     import os
 
     import jax as _jax
 
     if os.environ.get("FCD_S2D", "1") == "0":
+        return False
+    if taps == 8 and (os.environ.get("FCD_CONV8", "1") == "0"
+                      or os.environ.get("FCD_FUSED_BLOCK", "1") == "0"):
         return False
     if _jax.default_backend() != "tpu" or dtype != jnp.bfloat16:
         return False
@@ -49,8 +55,8 @@ def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
     from fcd_tpu.ops.s2d_ops import s2d_supported
 
     parts = list(part_channels) if part_channels is not None else [cin]
-    return (all(s2d_supported(dims, c, cout) for c in parts)
-            and s2d_supported(dims, cout, cout))
+    return (all(s2d_supported(dims, c, cout, taps) for c in parts)
+            and s2d_supported(dims, cout, cout, taps))
 
 
 class UnetResBlock(nn.Module):
@@ -169,10 +175,20 @@ class UnetResBlock(nn.Module):
             return self._s2d_forward(s2d_parts, train, emit_s2d)
 
         in_channels = x.shape[-1]
-        if _s2d_block_eligible(
+        elig = _s2d_block_eligible(
             x.shape[1:4], in_channels, self.out_channels, self.kernel_size,
             self.stride, self.norm_name, self.act_name, self.dtype,
-        ):
+        )
+        if not elig and not train and not self.use_bias:
+            # eval-only tier: the 8-tap half-offset fused block covers
+            # channel counts the differentiable 27-tap form cannot (the
+            # deeper encoder/decoder levels) — forward-only, so gate on eval
+            elig = _s2d_block_eligible(
+                x.shape[1:4], in_channels, self.out_channels,
+                self.kernel_size, self.stride, self.norm_name,
+                self.act_name, self.dtype, taps=8,
+            )
+        if elig:
             xs = to_s2d(x.astype(jnp.bfloat16))
             return self._s2d_forward([(xs, in_channels)], train, emit_s2d)
 

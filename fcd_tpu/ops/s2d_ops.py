@@ -475,8 +475,10 @@ def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
     return out.astype(out_dtype)
 
 
-def s2d_supported(shape: Sequence[int], cin: int, cout: int) -> bool:
+def s2d_supported(shape: Sequence[int], cin: int, cout: int,
+                  taps: int = 27) -> bool:
     """Eligibility of a residual block for s2d-resident execution."""
     from fcd_tpu.kernels.block_conv import fast_conv_supported
 
-    return fast_conv_supported(shape, cin, cout, (3, 3, 3), (1, 1, 1))
+    return fast_conv_supported(shape, cin, cout, (3, 3, 3), (1, 1, 1),
+                               taps=taps)

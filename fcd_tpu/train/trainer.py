@@ -397,7 +397,7 @@ class ModelTrainer:
             except Exception:
                 self.wandb = None
 
-        use_aug = True
+        use_aug = bool(p.get("augment", True))
         self.train_start_time = time.time()
         for epoch in range(current_epoch, max_epochs):
             epoch_start = time.time()

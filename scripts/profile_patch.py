@@ -87,10 +87,51 @@ CATEGORIES = [
 ]
 
 
+def build_sw():
+    """The bench's full sliding-window volume call (8 patches, blending)."""
+    import numpy as np
+
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.infer.sliding_window import (
+        patch_s2d_compatible,
+        sliding_window_inference,
+    )
+    from fcd_tpu.models.factory import get_model, init_model
+    from fcd_tpu.train.state import make_eval_fn
+
+    params = get_default_params()
+    params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True)
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    use_s2d = (getattr(model, "supports_s2d_input", False)
+               and jax.default_backend() == "tpu"
+               and patch_s2d_compatible((182, 218, 182), (128,) * 3, 0.25))
+    predict = make_eval_fn(model, x_is_s2d=use_s2d, s2d_logits=use_s2d)
+    vol = jnp.asarray(np.random.RandomState(0)
+                      .rand(182, 218, 182, 2).astype(np.float32))
+
+    def predictor(p):  # stable identity: one jit cache entry across calls
+        return predict(variables, p)
+
+    def step(_):
+        out = sliding_window_inference(
+            vol, predictor, roi_size=(128,) * 3,
+            out_channels=2, sw_batch=1, overlap=0.25, blend="constant",
+            compute_dtype=jnp.bfloat16, patch_s2d=use_s2d,
+            s2d_logits=use_s2d)
+        return out
+
+    return step, jnp.zeros(())
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     mode = sys.argv[2] if len(sys.argv) > 2 else "op"
-    step, x = build_predictor()
+    if mode.startswith("sw"):
+        step, x = build_sw()
+        mode = mode[2:].lstrip("_") or "top"
+    else:
+        step, x = build_predictor()
     y = step(x)
     _ = jnp.asarray(y)[0, 0, 0, 0]  # sync through the relay
 

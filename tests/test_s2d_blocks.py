@@ -135,7 +135,7 @@ def test_ms_dsa_net_s2d_residency_matches_standard(monkeypatch):
     want = np.asarray(model.apply(v, x, train=False))
 
     def permissive(dims, cin, cout, k, s, norm, act, dtype,
-                   part_channels=None):
+                   part_channels=None, **kw):
         from fcd_tpu.ops.s2d_ops import s2d_supported
 
         parts = list(part_channels) if part_channels is not None else [cin]
@@ -195,7 +195,7 @@ def test_segresnet_resblock_s2d_matches_standard(monkeypatch):
     import fcd_tpu.ops.blocks as blocks_mod
 
     def permissive(dims, cin, cout, k, s, norm, act, dtype,
-                   part_channels=None):
+                   part_channels=None, **kw):
         from fcd_tpu.ops.s2d_ops import s2d_supported
 
         parts = list(part_channels) if part_channels is not None else [cin]
@@ -209,7 +209,7 @@ def test_segresnet_resblock_s2d_matches_standard(monkeypatch):
 
 
 def _permissive_any_norm(dims, cin, cout, k, s, norm, act, dtype,
-                         part_channels=None):
+                         part_channels=None, **kw):
     from fcd_tpu.ops.s2d_ops import s2d_supported
 
     parts = list(part_channels) if part_channels is not None else [cin]

@@ -98,3 +98,68 @@ def test_cli_validation_errors(data_dir, tmp_path):
               "--splits", "train", "--save_dir", str(tmp_path)])
     with pytest.raises(ValueError, match="data_dir not found"):
         main(["--data_dir", "/nonexistent", "--split_file", str(data_dir / "split.txt")])
+
+
+@pytest.fixture(scope="module")
+def overfit_data_dir(tmp_path_factory):
+    """One synthetic subject, 32^3 (MS_DSA_NET needs dims % 32 == 0), with
+    an intensity-separable lesion."""
+    root = tmp_path_factory.mktemp("ds_overfit")
+    rng = np.random.RandomState(1)
+    vol = rng.rand(32, 32, 32).astype(np.float32) * 0.2
+    gt = np.zeros_like(vol)
+    gt[8:24, 8:24, 8:24] = 1
+    vol = vol + gt * 0.8
+    # sub-02 = identical data as the val subject (monitoring only)
+    for subj in ["sub-01", "sub-02"]:
+        d = root / subj / "anat"
+        os.makedirs(d)
+        nifti.save(str(d / "t1_reg.nii.gz"), vol)
+        nifti.save(str(d / "flair_reg.nii.gz"), vol * 0.9)
+        nifti.save(str(d / "gt_reg.nii.gz"), gt)
+    (root / "split.txt").write_text("sub-01 train\nsub-02 val\n")
+    return root
+
+
+def test_overfit_one_sample_msdsanet(overfit_data_dir, tmp_path, monkeypatch):
+    """SURVEY §4 plan item 3: the default MS_DSA_NET (tiny config) overfits
+    one synthetic subject through the real CLI — train Dice > 0.9 on the
+    post-train test pass, full metric row emitted."""
+    monkeypatch.setenv("WANDB_MODE", "disabled")
+    from fcd_tpu.cli.args import parse_kwargs
+    from fcd_tpu.cli.train import main
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.models.factory import get_model
+    from fcd_tpu.train.trainer import ModelTrainer
+
+    kwargs = [
+        "patch_size=32", "feature_size=4", "project_size=8",
+        "max_epochs=28", "min_epochs=0", "warmup_epochs=2", "lr=1e-2",
+        "use_amp=False", "loss=DiceCELoss", "samples_per_case=8",
+        "batch_size=4", "early_stopping_patience=50", "min_region_size=1",
+        "augment=False",
+    ]
+    save_root = tmp_path / "runs"
+    main([
+        "--data_dir", str(overfit_data_dir),
+        "--split_file", str(overfit_data_dir / "split.txt"),
+        "--splits", "train", "val", "--model_type", "MS_DSA_NET",
+        "--save_dir", str(save_root), "--kwargs", *kwargs,
+    ])
+    run_dir = next((save_root / "MS_DSA_NET").iterdir())
+    assert (run_dir / "best_model.msgpack").exists()
+
+    # post-train test pass on the (single, trained-on) subject
+    params = get_default_params()
+    params["model_type"] = "MS_DSA_NET"
+    params = parse_kwargs(params, kwargs)
+    _, params = get_model(params, return_model=False)
+    params["chans_in"] = 2
+    trainer = ModelTrainer(params, verbose=False)
+    trainer.load_model(str(run_dir / "best_model.msgpack"),
+                       with_optimizer=False)
+    metrics = trainer.test(str(overfit_data_dir), ["sub-01"],
+                           post_process=False)
+    assert metrics["DC"] > 0.9, metrics
+    for key in ["Prec", "Sens", "F1", "DC", "Lesion_Dice", "sSens"]:
+        assert key in metrics, key
