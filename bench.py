@@ -8,18 +8,26 @@ FLAIR+T1 volume (182x218x182, 2 channels), roi 128^3, overlap 0.25,
 constant blending, bf16 compute — measured volumes/sec on one chip.
 
 vs_baseline: ratio against an estimated A100 PyTorch+MONAI throughput
-for the same workload, derived from the XLA-reported FLOPs per volume
-at 312 TFLOP/s fp16 peak x 30% assumed utilization. The reference
-publishes no numbers (BASELINE.md) and this host has no A100 (and no
-MONAI, and one CPU core), so the denominator cannot be measured here;
-30% is chosen deliberately ABOVE the 5-20% model-FLOPs utilization
-that eager PyTorch typically achieves on batch-1 3D medical
-segmentation inference (host-looped MONAI sliding window, bs=1
-dispatch-bound attention blocks), i.e. the baseline is credited
-generously and vs_baseline is a lower bound on the true ratio. The
-JSON also reports our own measured MFU on this chip so progress is
-trackable independently of that assumption. The driver's north star
-is vs_baseline >= 5.
+for the same workload. The reference publishes no numbers (BASELINE.md)
+and this host has no A100 (and no MONAI), so the denominator is
+derived from a MEASURED PyTorch-eager run of the identical workload
+(same architecture, same sliding-window path) on this host's CPU —
+scripts/bench_torch_baseline.py, results committed in
+BASELINE_MEASURED.json: PyTorch's achieved model-FLOPs utilization
+(fraction of the same-measured matmul peak) is transferred to the
+A100's 312 TFLOP/s fp16 peak:
+
+    a100_vol_per_s = A100_PEAK * torch_measured_mfu / flops_per_volume
+
+This OVER-credits the baseline: on the CPU, each eager conv runs for
+seconds and amortizes all dispatch overhead, while a batch-1 A100 run
+pays fixed per-kernel launch/layout costs against a ~7000x larger
+peak, so its achievable MFU on this host-looped bs-1 workload is well
+below the CPU figure — i.e. vs_baseline is a lower bound on the true
+ratio. The JSON also reports our own measured MFU on this chip so
+progress is trackable independently of the transfer assumption. The
+driver's north star is vs_baseline >= 5. Full methodology:
+BASELINE.md "vs_baseline methodology".
 """
 
 from __future__ import annotations
@@ -35,7 +43,23 @@ VOL_SHAPE = (182, 218, 182, 2)
 N_WARMUP = 1
 N_ITERS = 5
 A100_PEAK_BF16 = 312e12
-A100_ASSUMED_UTIL = 0.30
+# fallback if BASELINE_MEASURED.json is missing: the round-1 assumption
+A100_FALLBACK_UTIL = 0.30
+
+
+def baseline_util() -> float:
+    """A100 utilization credited to the torch+MONAI baseline: the MEASURED
+    PyTorch-eager MFU of this exact workload on this host's CPU
+    (scripts/bench_torch_baseline.py -> BASELINE_MEASURED.json)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["torch_cpu_mfu"])
+    except Exception:
+        return A100_FALLBACK_UTIL
 
 
 def main() -> None:
@@ -121,7 +145,7 @@ def main() -> None:
         flops_per_volume = 0.0
 
     if flops_per_volume > 0:
-        a100_vol_per_s = (A100_PEAK_BF16 * A100_ASSUMED_UTIL) / flops_per_volume
+        a100_vol_per_s = (A100_PEAK_BF16 * baseline_util()) / flops_per_volume
         vs_baseline = vol_per_s / a100_vol_per_s
     else:
         vs_baseline = 0.0

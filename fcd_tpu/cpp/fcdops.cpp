@@ -8,6 +8,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC fcdops.cpp -o libfcdops.so
 
 #include <array>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -259,6 +260,133 @@ void component_sizes(const int32_t* labels, int64_t n, int64_t n_labels,
     const int32_t l = labels[i];
     if (l >= 0 && l <= n_labels) ++sizes[l];
   }
+}
+
+}  // extern "C"
+
+namespace {
+
+constexpr double kInf = 1e30;
+
+// Felzenszwalb-Huttenlocher 1D squared distance transform with anisotropic
+// voxel pitch `w`: d[p] = min_q ((p-q)^2 w^2 + f[q]). Parabolas with f = kInf
+// are excluded from the lower envelope (rows with no seed stay at kInf).
+void dt1d(const double* f, double* d, int* v, double* z, int n, double w) {
+  int k = -1;
+  const double w2 = w * w;
+  for (int q = 0; q < n; ++q) {
+    if (f[q] >= kInf) continue;
+    double s;
+    for (;;) {
+      if (k < 0) {
+        s = -kInf;
+        break;
+      }
+      const int p = v[k];
+      // intersection of parabola q with parabola v[k]
+      s = ((f[q] + w2 * q * q) - (f[p] + w2 * p * p)) /
+          (2.0 * w2 * (q - p));
+      if (s > z[k]) break;
+      --k;
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    if (k + 1 < n + 1) z[k + 1] = kInf;
+  }
+  if (k < 0) {  // no finite parabola on this line
+    for (int p = 0; p < n; ++p) d[p] = kInf;
+    return;
+  }
+  int j = 0;
+  for (int p = 0; p < n; ++p) {
+    while (j < k && z[j + 1] < p) ++j;
+    const double dp = w * (p - v[j]);
+    d[p] = dp * dp + f[v[j]];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact Euclidean distance transform (scipy.ndimage.distance_transform_edt
+// semantics): for every voxel where mask != 0, the distance to the nearest
+// zero voxel, with per-axis sampling (sz, sy, sx); zero voxels map to 0.
+// Returns 0 on success, 1 if the mask has no zero voxel (out = inf-like).
+int32_t edt_3d(const uint8_t* mask, int64_t d, int64_t h, int64_t w,
+               double sz, double sy, double sx, double* out) {
+  const int64_t n = d * h * w;
+  std::vector<double> g(n);
+  for (int64_t i = 0; i < n; ++i) g[i] = mask[i] ? kInf : 0.0;
+
+  const int nmax = static_cast<int>(d > h ? (d > w ? d : w) : (h > w ? h : w));
+  std::vector<double> f(nmax), dd(nmax), z(nmax + 1);
+  std::vector<int> v(nmax);
+
+  // axis 2 (x): contiguous rows
+  for (int64_t zz = 0; zz < d; ++zz)
+    for (int64_t yy = 0; yy < h; ++yy) {
+      double* row = g.data() + (zz * h + yy) * w;
+      dt1d(row, dd.data(), v.data(), z.data(), static_cast<int>(w), sx);
+      std::memcpy(row, dd.data(), sizeof(double) * w);
+    }
+  // axis 1 (y)
+  for (int64_t zz = 0; zz < d; ++zz)
+    for (int64_t xx = 0; xx < w; ++xx) {
+      double* base = g.data() + zz * h * w + xx;
+      for (int64_t yy = 0; yy < h; ++yy) f[yy] = base[yy * w];
+      dt1d(f.data(), dd.data(), v.data(), z.data(), static_cast<int>(h), sy);
+      for (int64_t yy = 0; yy < h; ++yy) base[yy * w] = dd[yy];
+    }
+  // axis 0 (z)
+  bool any_zero = false;
+  for (int64_t yy = 0; yy < h; ++yy)
+    for (int64_t xx = 0; xx < w; ++xx) {
+      double* base = g.data() + yy * w + xx;
+      for (int64_t zz = 0; zz < d; ++zz) f[zz] = base[zz * h * w];
+      dt1d(f.data(), dd.data(), v.data(), z.data(), static_cast<int>(d), sz);
+      for (int64_t zz = 0; zz < d; ++zz) base[zz * h * w] = dd[zz];
+    }
+
+  for (int64_t i = 0; i < n; ++i) {
+    if (g[i] < kInf) {
+      out[i] = std::sqrt(g[i]);
+      any_zero = true;
+    } else {
+      out[i] = kInf;
+    }
+  }
+  return any_zero ? 0 : 1;
+}
+
+// 2x2x2 neighbour-code correlation (scipy.ndimage.correlate with the
+// surface-distance bit kernel [[[128,64],[32,16]],[[8,4],[2,1]]], constant-0
+// padding, even-kernel origin at index 1 per axis):
+//   code[z,y,x] = sum_{dz,dy,dx in {0,1}} mask[z+dz-1, y+dy-1, x+dx-1]
+//                 * K[dz,dy,dx]
+void neighbour_code_3d(const uint8_t* mask, int64_t d, int64_t h, int64_t w,
+                       uint8_t* code) {
+  static const int kBits[2][2][2] = {{{128, 64}, {32, 16}}, {{8, 4}, {2, 1}}};
+  for (int64_t z = 0; z < d; ++z)
+    for (int64_t y = 0; y < h; ++y)
+      for (int64_t x = 0; x < w; ++x) {
+        int c = 0;
+        for (int dz = 0; dz < 2; ++dz) {
+          const int64_t zz = z + dz - 1;
+          if (zz < 0 || zz >= d) continue;
+          for (int dy = 0; dy < 2; ++dy) {
+            const int64_t yy = y + dy - 1;
+            if (yy < 0 || yy >= h) continue;
+            for (int dx = 0; dx < 2; ++dx) {
+              const int64_t xx = x + dx - 1;
+              if (xx < 0 || xx >= w) continue;
+              if (mask[(zz * h + yy) * w + xx]) c += kBits[dz][dy][dx];
+            }
+          }
+        }
+        code[(z * h + y) * w + x] = static_cast<uint8_t>(c);
+      }
 }
 
 }  // extern "C"

@@ -32,6 +32,26 @@ _EMPTY = {
 }
 
 
+def _edt(nonzero: np.ndarray, spacing_mm) -> np.ndarray:
+    """Native C++ Felzenszwalb EDT (fcdops.cpp::edt_3d) with scipy fallback."""
+    from fcd_tpu.postproc.native import native_edt
+
+    out = native_edt(nonzero, spacing_mm)
+    if out is not None:
+        return out
+    return ndimage.distance_transform_edt(nonzero, sampling=spacing_mm)
+
+
+def _neighbour_code(crop: np.ndarray) -> np.ndarray:
+    """Native 2x2x2 bit-code correlation with scipy fallback."""
+    from fcd_tpu.postproc.native import native_neighbour_code
+
+    out = native_neighbour_code(crop)
+    if out is not None:
+        return out
+    return ndimage.correlate(crop, _CODE_KERNEL, mode="constant", cval=0)
+
+
 def compute_surface_distances(
     mask_gt: np.ndarray, mask_pred: np.ndarray, spacing_mm: Tuple[float, float, float]
 ) -> Dict[str, np.ndarray]:
@@ -58,18 +78,18 @@ def compute_surface_distances(
     crop_gt[:-1, :-1, :-1] = mask_gt[sl]
     crop_pred[:-1, :-1, :-1] = mask_pred[sl]
 
-    code_gt = ndimage.correlate(crop_gt, _CODE_KERNEL, mode="constant", cval=0)
-    code_pred = ndimage.correlate(crop_pred, _CODE_KERNEL, mode="constant", cval=0)
+    code_gt = _neighbour_code(crop_gt)
+    code_pred = _neighbour_code(crop_pred)
 
     borders_gt = (code_gt != 0) & (code_gt != 255)
     borders_pred = (code_pred != 0) & (code_pred != 255)
 
     if borders_gt.any():
-        distmap_gt = ndimage.distance_transform_edt(~borders_gt, sampling=spacing_mm)
+        distmap_gt = _edt(~borders_gt, spacing_mm)
     else:
         distmap_gt = np.full(borders_gt.shape, np.inf)
     if borders_pred.any():
-        distmap_pred = ndimage.distance_transform_edt(~borders_pred, sampling=spacing_mm)
+        distmap_pred = _edt(~borders_pred, spacing_mm)
     else:
         distmap_pred = np.full(borders_pred.shape, np.inf)
 

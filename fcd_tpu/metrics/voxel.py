@@ -93,8 +93,10 @@ def hausdorff_distance_95(
     edges_pred = _mask_edges(pred)
     edges_true = _mask_edges(true)
 
-    dt_true = ndimage.distance_transform_edt(~edges_true, sampling=spacing)
-    dt_pred = ndimage.distance_transform_edt(~edges_pred, sampling=spacing)
+    from fcd_tpu.metrics.surface_distance import _edt
+
+    dt_true = _edt(~edges_true, spacing)
+    dt_pred = _edt(~edges_pred, spacing)
     d_p2t = dt_true[edges_pred]
     d_t2p = dt_pred[edges_true]
     if d_p2t.size == 0 or d_t2p.size == 0:

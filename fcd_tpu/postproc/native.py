@@ -58,6 +58,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.binary_fill_holes.argtypes = [u8p, i64, i64, i64, u8p, i32, i32, i32, u8p]
         lib.component_sizes.restype = None
         lib.component_sizes.argtypes = [i32p, i64, i64, i64p]
+        f64, f64p = ctypes.c_double, np.ctypeslib.ndpointer(
+            np.float64, flags="C_CONTIGUOUS")
+        lib.edt_3d.restype = i32
+        lib.edt_3d.argtypes = [u8p, i64, i64, i64, f64, f64, f64, f64p]
+        lib.neighbour_code_3d.restype = None
+        lib.neighbour_code_3d.argtypes = [u8p, i64, i64, i64, u8p]
         _LIB = lib
         return _LIB
 
@@ -88,6 +94,41 @@ def native_morph(mask: np.ndarray, structure: np.ndarray, iterations: int,
         mask, mask.shape[0], mask.shape[1], mask.shape[2],
         structure, rz, ry, rx, iterations, int(erosion), out,
     )
+    return out
+
+
+def native_edt(mask: np.ndarray, sampling) -> Optional[np.ndarray]:
+    """Exact EDT with scipy.ndimage.distance_transform_edt semantics: for
+    every nonzero voxel the distance to the nearest zero voxel (per-axis
+    `sampling` pitch). None if the native lib is unavailable. A mask with no
+    zero voxel returns +inf everywhere (scipy returns large finite values
+    there; our only callers guard that case)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(np.asarray(mask).astype(np.uint8))
+    if mask.ndim != 3:
+        return None
+    sz, sy, sx = (float(s) for s in np.broadcast_to(np.asarray(sampling, np.float64), (3,)))
+    out = np.zeros(mask.shape, np.float64)
+    no_zero = lib.edt_3d(mask, mask.shape[0], mask.shape[1], mask.shape[2],
+                         sz, sy, sx, out)
+    if no_zero:
+        out[:] = np.inf
+    return out
+
+
+def native_neighbour_code(mask: np.ndarray) -> Optional[np.ndarray]:
+    """2x2x2 surface-distance bit-code correlation (constant-0 padding),
+    equal to scipy.ndimage.correlate(mask, KERNEL, mode='constant')."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(np.asarray(mask).astype(np.uint8))
+    if mask.ndim != 3:
+        return None
+    out = np.zeros(mask.shape, np.uint8)
+    lib.neighbour_code_3d(mask, mask.shape[0], mask.shape[1], mask.shape[2], out)
     return out
 
 

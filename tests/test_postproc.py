@@ -113,3 +113,38 @@ def test_evaluate_fp():
     gt = np.zeros((8, 8, 8))
     gt[0:2, 0:2, 0:2] = 1
     assert evaluate_fp(cc, gt) == 1
+
+
+@pytest.mark.parametrize("sampling", [(1.0, 1.0, 1.0), (0.7, 1.3, 2.0)])
+def test_native_edt_parity(sampling):
+    """fcdops.cpp::edt_3d vs scipy.ndimage.distance_transform_edt."""
+    from fcd_tpu.postproc.native import native_edt
+
+    rng = np.random.RandomState(3)
+    for shape in [(7, 9, 11), (24, 18, 30), (1, 5, 5)]:
+        m = rng.rand(*shape) > 0.7
+        ours = native_edt(m, sampling)
+        assert ours is not None, "native lib unavailable"
+        ref = ndimage.distance_transform_edt(m, sampling=sampling)
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_native_edt_no_zero_voxel():
+    from fcd_tpu.postproc.native import native_edt
+
+    out = native_edt(np.ones((4, 4, 4), bool), (1.0, 1.0, 1.0))
+    assert np.isinf(out).all()
+
+
+def test_native_neighbour_code_parity():
+    """fcdops.cpp::neighbour_code_3d vs scipy correlate with the bit kernel."""
+    from fcd_tpu.metrics.surface_distance import _CODE_KERNEL
+    from fcd_tpu.postproc.native import native_neighbour_code
+
+    rng = np.random.RandomState(4)
+    for shape in [(6, 7, 8), (16, 12, 10)]:
+        m = (rng.rand(*shape) > 0.5).astype(np.uint8)
+        ours = native_neighbour_code(m)
+        assert ours is not None
+        ref = ndimage.correlate(m, _CODE_KERNEL, mode="constant", cval=0)
+        np.testing.assert_array_equal(ours, ref)

@@ -67,9 +67,24 @@ def test_parity_random_blobs(ref_sd, seed, spacing):
     mine = compute_surface_distances(gt, pred, spacing)
     theirs = ref_sd.compute_surface_distances(gt, pred, spacing)
 
-    for key in mine:
-        np.testing.assert_allclose(mine[key], theirs[key], rtol=1e-9, atol=1e-12,
-                                   err_msg=key)
+    # our native C++ EDT (fcdops.cpp::edt_3d) matches scipy's to ~1e-12 but
+    # not bit-for-bit, so surfels tied in distance may sort in a different
+    # order than the reference; canonicalize (distance, area) pairs before
+    # the element-wise comparison — the engine's outputs are (distance,
+    # area) multisets, and every derived metric is order-insensitive
+    def _canon(sd, dkey, akey):
+        d, a = sd[dkey], sd[akey]
+        order = np.lexsort((a, np.round(d, 6)))
+        return d[order], a[order]
+
+    for dkey, akey in (
+        ("distances_gt_to_pred", "surfel_areas_gt"),
+        ("distances_pred_to_gt", "surfel_areas_pred"),
+    ):
+        md, ma = _canon(mine, dkey, akey)
+        td, ta = _canon(theirs, dkey, akey)
+        np.testing.assert_allclose(md, td, rtol=1e-9, atol=1e-12, err_msg=dkey)
+        np.testing.assert_allclose(ma, ta, rtol=1e-9, atol=1e-12, err_msg=akey)
 
     for pct in (95, 99, 50):
         assert compute_robust_hausdorff(mine, pct) == pytest.approx(
