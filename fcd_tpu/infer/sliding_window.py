@@ -78,6 +78,10 @@ def _sliding_window_jit(
     volume: jnp.ndarray,            # (D, H, W, C) already padded to >= roi
     starts: jnp.ndarray,            # (n_padded, 3) int32 patch starts
     valid: jnp.ndarray,             # (n_padded,) float32 1/0 validity weights
+    inv_cnt: jnp.ndarray,           # reciprocal coverage, host-precomputed:
+                                    # (D,H,W,1) f32, or (D/2,H/2,W/2,8) when
+                                    # s2d_logits (coverage is a static
+                                    # function of the grid — no accumulator)
     *,
     predictor: Callable,            # (B, rd, rh, rw, C) -> (B, rd, rh, rw, out_channels)
     roi_size: Tuple[int, int, int],
@@ -130,62 +134,47 @@ def _sliding_window_jit(
         imp_lanes = jnp.repeat(imp_s2d, out_channels, axis=-1)  # (.., 8*O)
         rd2, rh2, rw2 = rd // 2, rh // 2, rw // 2
         acc = jnp.zeros((d // 2, h // 2, w // 2, 8 * out_channels), jnp.float32)
-        cnt = jnp.zeros((d // 2, h // 2, w // 2, 8), jnp.float32)
 
-        def body(carry, batch_idx):
-            acc, cnt = carry
+        def body(acc, batch_idx):
             idx0 = batch_idx * sw_batch
             batch_starts = jax.lax.dynamic_slice(starts, (idx0, 0), (sw_batch, 3))
             batch_valid = jax.lax.dynamic_slice(valid, (idx0,), (sw_batch,))
             patches = jax.vmap(gather)(batch_starts)
             logits = predictor(patches).astype(jnp.float32)    # (B, rd2, rh2, rw2, 8O)
 
-            def scatter(i, carry):
-                acc, cnt = carry
+            def scatter(i, acc):
                 s = batch_starts[i]
                 pos = (s[0] // 2, s[1] // 2, s[2] // 2, 0)
                 cur = jax.lax.dynamic_slice(acc, pos, (rd2, rh2, rw2, 8 * out_channels))
-                acc = jax.lax.dynamic_update_slice(
+                return jax.lax.dynamic_update_slice(
                     acc, cur + logits[i] * (imp_lanes * batch_valid[i]), pos)
-                curc = jax.lax.dynamic_slice(cnt, pos, (rd2, rh2, rw2, 8))
-                cnt = jax.lax.dynamic_update_slice(
-                    cnt, curc + imp_s2d * batch_valid[i], pos)
-                return acc, cnt
 
-            acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter, (acc, cnt))
-            return (acc, cnt), None
+            return jax.lax.fori_loop(0, sw_batch, scatter, acc), None
 
-        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(n_batches))
-        out = acc / jnp.repeat(jnp.maximum(cnt, 1e-8), out_channels, axis=-1)
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(n_batches))
+        out = acc * jnp.repeat(inv_cnt, out_channels, axis=-1)
         return depth_to_space(out[None], out_channels)[0]
 
     acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
-    cnt = jnp.zeros((d, h, w, 1), jnp.float32)
 
-    def body(carry, batch_idx):
-        acc, cnt = carry
+    def body(acc, batch_idx):
         idx0 = batch_idx * sw_batch
         batch_starts = jax.lax.dynamic_slice(starts, (idx0, 0), (sw_batch, 3))
         batch_valid = jax.lax.dynamic_slice(valid, (idx0,), (sw_batch,))
         patches = jax.vmap(gather)(batch_starts)               # (B, rd, rh, rw, C)
         logits = predictor(patches).astype(jnp.float32)        # (B, rd, rh, rw, O)
 
-        def scatter(i, carry):
-            acc, cnt = carry
+        def scatter(i, acc):
             s = batch_starts[i]
             wgt = imp4 * batch_valid[i]
             pos = (s[0], s[1], s[2], 0)
             cur = jax.lax.dynamic_slice(acc, pos, (rd, rh, rw, out_channels))
-            acc = jax.lax.dynamic_update_slice(acc, cur + logits[i] * wgt, pos)
-            curc = jax.lax.dynamic_slice(cnt, pos, (rd, rh, rw, 1))
-            cnt = jax.lax.dynamic_update_slice(cnt, curc + wgt, pos)
-            return acc, cnt
+            return jax.lax.dynamic_update_slice(acc, cur + logits[i] * wgt, pos)
 
-        acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter, (acc, cnt))
-        return (acc, cnt), None
+        return jax.lax.fori_loop(0, sw_batch, scatter, acc), None
 
-    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(n_batches))
-    return acc / jnp.maximum(cnt, 1e-8)
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(n_batches))
+    return acc * inv_cnt
 
 
 def patch_s2d_compatible(shape, roi_size, overlap: float) -> bool:
@@ -249,10 +238,32 @@ def sliding_window_inference(
         starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
         valid[n:] = 0.0
 
+    # coverage is a static function of the grid: precompute its reciprocal
+    # on host instead of accumulating a second (lane-padded) device tensor
+    if blend == "gaussian":
+        imp_np = gaussian_importance(roi_size, sigma_scale)
+    else:
+        imp_np = np.ones(roi_size, np.float32)
+    cnt_np = np.zeros((pd, ph, pw, 1), np.float32)
+    for (sd, sh_, sw_), v in zip(starts, valid):
+        if v > 0:
+            cnt_np[sd:sd + roi_size[0], sh_:sh_ + roi_size[1],
+                   sw_:sw_ + roi_size[2], 0] += imp_np
+    inv_cnt_np = 1.0 / np.maximum(cnt_np, 1e-8)
+    if s2d_logits:
+        # space_to_depth of (pd, ph, pw, 1): (pd/2, ph/2, pw/2, 8) parity-major
+        inv_cnt_np = (
+            inv_cnt_np[..., 0]
+            .reshape(pd // 2, 2, ph // 2, 2, pw // 2, 2)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(pd // 2, ph // 2, pw // 2, 8)
+        )
+
     out = _sliding_window_jit(
         padded,
         jnp.asarray(starts),
         jnp.asarray(valid),
+        jnp.asarray(inv_cnt_np),
         predictor=predictor,
         roi_size=roi_size,
         sw_batch=sw_batch,

@@ -81,6 +81,9 @@ def depth_to_space(x: jnp.ndarray, cout: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _s2d_conv_weights(c: int):
+    # cache NUMPY, not a jnp array: inside a jit trace jnp.asarray returns a
+    # tracer, and caching that leaks it into later traces (e.g. a second
+    # volume shape in the same process)
     w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
     for kz in range(2):
         for ky in range(2):
@@ -88,7 +91,7 @@ def _s2d_conv_weights(c: int):
                 q = 4 * kz + 2 * ky + kx
                 for ch in range(c):
                     w[kz, ky, kx, ch, q * c + ch] = 1.0
-    return jnp.asarray(w)
+    return w
 
 
 @functools.lru_cache(maxsize=8)
@@ -100,7 +103,7 @@ def _d2s_conv_weights(c: int):
                 p = 4 * (1 - kz) + 2 * (1 - ky) + (1 - kx)
                 for ch in range(c):
                     w[kz, ky, kx, p * c + ch, ch] = 1.0
-    return jnp.asarray(w)
+    return w
 
 
 def space_to_depth_fast(x: jnp.ndarray) -> jnp.ndarray:

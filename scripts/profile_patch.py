@@ -50,17 +50,25 @@ def build_predictor():
 
 
 def collect(trace_dir):
+    """(module_ms, op_rows): device-busy time from the 'XLA Modules' line
+    (authoritative) and per-op durations from the 'XLA Ops' line (sync ops
+    only — 'Async XLA Ops' overlap compute and double-count)."""
     data = jax.profiler.ProfileData.from_serialized_xspace(
         open(_find_xspace(trace_dir), "rb").read())
     rows = []
+    module_ms = 0.0
     for plane in data.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
         for line in plane.lines:
-            for ev in line.events:
-                dur = (ev.end_ns - ev.start_ns) / 1e6
-                rows.append((ev.name, dur))
-    return rows
+            if line.name == "XLA Modules":
+                module_ms += sum(
+                    (ev.end_ns - ev.start_ns) / 1e6 for ev in line.events)
+            elif line.name == "XLA Ops":
+                for ev in line.events:
+                    dur = (ev.end_ns - ev.start_ns) / 1e6
+                    rows.append((ev.name, dur))
+    return module_ms, rows
 
 
 def _find_xspace(trace_dir):
@@ -140,11 +148,11 @@ def main():
             for _ in range(n):
                 y = step(x)
             _ = jnp.asarray(y.reshape(-1)[0])
-        rows = collect(td)
+        module_ms, rows = collect(td)
 
     total = sum(d for _, d in rows)
-    print(f"total device time: {total:.2f} ms over {n} iters "
-          f"=> {total / n:.2f} ms/patch, {len(rows)} events")
+    print(f"device-busy (XLA Modules): {module_ms / n:.2f} ms/iter; "
+          f"sync-op sum: {total / n:.2f} ms/iter, {len(rows)} events")
     if mode == "top":
         agg = collections.Counter()
         cnt = collections.Counter()
