@@ -52,6 +52,11 @@ N_ITERS = 5
 A100_PEAK_BF16 = 312e12
 # fallback if BASELINE_MEASURED.json is missing: the round-1 assumption
 A100_FALLBACK_UTIL = 0.30
+# XLA-counted FLOPs of the plain (no s2d/Pallas) MS_DSA_NET forward at
+# (1, 128, 128, 128, 2) bf16, measured via lowered.compile().cost_analysis()
+# on the CPU backend (the axon relay backend reports flops=0). Used when the
+# live cost analysis is unavailable; the live path, when it works, matches.
+FLOPS_PER_PATCH_BS1 = 258_106_277_888.0
 
 
 def baseline_util() -> float:
@@ -161,6 +166,10 @@ def main() -> None:
         flops_per_volume = flops_per_batch * (n_patches / sw_batch)
     except Exception:
         flops_per_volume = 0.0
+    if flops_per_volume <= 0:
+        # relay backends report flops=0 from cost_analysis; use the
+        # CPU-measured constant for the same graph (see FLOPS_PER_PATCH_BS1)
+        flops_per_volume = FLOPS_PER_PATCH_BS1 * n_patches
 
     if flops_per_volume > 0:
         a100_vol_per_s = (A100_PEAK_BF16 * baseline_util()) / flops_per_volume

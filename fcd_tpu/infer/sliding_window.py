@@ -177,6 +177,37 @@ def _sliding_window_jit(
     return acc * inv_cnt
 
 
+@functools.lru_cache(maxsize=8)
+def _inverse_coverage(padded_shape, roi_size, overlap, sw_batch, blend,
+                      sigma_scale, s2d_logits) -> jnp.ndarray:
+    """Reciprocal blend coverage as a DEVICE-RESIDENT array, cached per grid
+    config: coverage is a static function of the grid, and recomputing or
+    re-uploading it per volume costs ~300 ms through the relay (~29 MB).
+    Safe to cache a jnp array here — it is created outside any trace."""
+    pd, ph, pw = padded_shape
+    starts = dense_patch_starts(padded_shape, roi_size, overlap)
+    if blend == "gaussian":
+        imp_np = gaussian_importance(roi_size, sigma_scale)
+    else:
+        imp_np = np.ones(roi_size, np.float32)
+    cnt_np = np.zeros((pd, ph, pw), np.float32)
+    for sd, sh_, sw_ in starts:
+        cnt_np[sd:sd + roi_size[0], sh_:sh_ + roi_size[1],
+               sw_:sw_ + roi_size[2]] += imp_np
+    inv_cnt_np = 1.0 / np.maximum(cnt_np, 1e-8)
+    if s2d_logits:
+        # space_to_depth of (pd, ph, pw, 1): (pd/2, ph/2, pw/2, 8) parity-major
+        inv_cnt_np = (
+            inv_cnt_np
+            .reshape(pd // 2, 2, ph // 2, 2, pw // 2, 2)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(pd // 2, ph // 2, pw // 2, 8)
+        )
+    else:
+        inv_cnt_np = inv_cnt_np[..., None]
+    return jnp.asarray(inv_cnt_np)
+
+
 def patch_s2d_compatible(shape, roi_size, overlap: float) -> bool:
     """Whether the s2d patch-gather fast path applies: even dims/rois and an
     even patch interval (so every grid start is even and the MONAI-parity
@@ -238,32 +269,15 @@ def sliding_window_inference(
         starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
         valid[n:] = 0.0
 
-    # coverage is a static function of the grid: precompute its reciprocal
-    # on host instead of accumulating a second (lane-padded) device tensor
-    if blend == "gaussian":
-        imp_np = gaussian_importance(roi_size, sigma_scale)
-    else:
-        imp_np = np.ones(roi_size, np.float32)
-    cnt_np = np.zeros((pd, ph, pw, 1), np.float32)
-    for (sd, sh_, sw_), v in zip(starts, valid):
-        if v > 0:
-            cnt_np[sd:sd + roi_size[0], sh_:sh_ + roi_size[1],
-                   sw_:sw_ + roi_size[2], 0] += imp_np
-    inv_cnt_np = 1.0 / np.maximum(cnt_np, 1e-8)
-    if s2d_logits:
-        # space_to_depth of (pd, ph, pw, 1): (pd/2, ph/2, pw/2, 8) parity-major
-        inv_cnt_np = (
-            inv_cnt_np[..., 0]
-            .reshape(pd // 2, 2, ph // 2, 2, pw // 2, 2)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(pd // 2, ph // 2, pw // 2, 8)
-        )
+    inv_cnt = _inverse_coverage(
+        (pd, ph, pw), roi_size, overlap, sw_batch, blend, sigma_scale,
+        s2d_logits)
 
     out = _sliding_window_jit(
         padded,
         jnp.asarray(starts),
         jnp.asarray(valid),
-        jnp.asarray(inv_cnt_np),
+        inv_cnt,
         predictor=predictor,
         roi_size=roi_size,
         sw_batch=sw_batch,

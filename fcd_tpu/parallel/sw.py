@@ -71,11 +71,17 @@ def sharded_sliding_window_inference(
         imp = jnp.ones(roi_size, jnp.float32)
     imp4 = imp[..., None]
 
+    # global blend coverage is a static function of the grid: use the cached
+    # device-resident reciprocal (saves the second accumulator and its psum)
+    from fcd_tpu.infer.sliding_window import _inverse_coverage
+
+    inv_cnt = _inverse_coverage((pd, ph, pw), roi_size, overlap, sw_batch,
+                                blend, sigma_scale, False)
+
     def local_sw(vol, starts_local, valid_local):
         n_local = starts_local.shape[0]
         n_batches = n_local // sw_batch
         acc = jnp.zeros((pd, ph, pw, out_channels), jnp.float32)
-        cnt = jnp.zeros((pd, ph, pw, 1), jnp.float32)
         vol_c = vol.astype(compute_dtype)
 
         if patch_s2d:
@@ -95,33 +101,26 @@ def sharded_sliding_window_inference(
                     vol_c, (start[0], start[1], start[2], 0), (rd, rh, rw, c)
                 )
 
-        def body(carry, i):
-            acc, cnt = carry
+        def body(acc, i):
             idx0 = i * sw_batch
             bs = jax.lax.dynamic_slice(starts_local, (idx0, 0), (sw_batch, 3))
             bv = jax.lax.dynamic_slice(valid_local, (idx0,), (sw_batch,))
             patches = jax.vmap(gather)(bs)
             logits = predictor(patches).astype(jnp.float32)
 
-            def scatter(j, carry):
-                acc, cnt = carry
+            def scatter(j, acc):
                 s = bs[j]
                 wgt = imp4 * bv[j]
                 pos = (s[0], s[1], s[2], 0)
                 cur = jax.lax.dynamic_slice(acc, pos, (rd, rh, rw, out_channels))
-                acc = jax.lax.dynamic_update_slice(acc, cur + logits[j] * wgt, pos)
-                curc = jax.lax.dynamic_slice(cnt, pos, (rd, rh, rw, 1))
-                cnt = jax.lax.dynamic_update_slice(cnt, curc + wgt, pos)
-                return acc, cnt
+                return jax.lax.dynamic_update_slice(acc, cur + logits[j] * wgt, pos)
 
-            acc, cnt = jax.lax.fori_loop(0, sw_batch, scatter, (acc, cnt))
-            return (acc, cnt), None
+            return jax.lax.fori_loop(0, sw_batch, scatter, acc), None
 
-        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(n_batches))
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(n_batches))
         # merge partial accumulators across the patch-grid shards
         acc = jax.lax.psum(acc, axis)
-        cnt = jax.lax.psum(cnt, axis)
-        return acc / jnp.maximum(cnt, 1e-8)
+        return acc * inv_cnt
 
     from jax import shard_map
 
