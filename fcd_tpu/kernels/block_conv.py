@@ -553,7 +553,8 @@ def _pz_lanes(h_out: int, w_out: int, c8: int):
 
 def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         has_prologue: bool, neg_slope: float,
-                        want_stats: bool, h_last: int, w_last: int):
+                        want_stats: bool, h_last: int, w_last: int,
+                        n_inputs: int = 1):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -569,15 +570,24 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
     W is padded up to a sublane multiple with zero columns so Mosaic can
     flatten GEMM operands without copies — w_out % 8 == 0 matters; the
     odd-width form ran at ~30% MXU vs ~90%).
+
+    n_inputs > 1 (a2o only): the kernel takes several (x_lo, x_hi, w)
+    triples sharing the spatial grid (channel counts may differ) and sums
+    their conv outputs in the accumulator — the one-kernel form of
+    convolving decoder cat-parts separately (linearity), so the part sum
+    and its statistics never need separate XLA passes.
     """
     assert variant in ("a2o", "o2a")
     # a2o's H/W halo is XLA zero-padding; an affine prologue would corrupt it
     assert not (variant == "a2o" and has_prologue)
+    assert n_inputs == 1 or variant == "a2o"
 
     def kernel(*refs):
         idx = 0
-        x_lo_ref, x_hi_ref, w_ref = refs[idx:idx + 3]
-        idx += 3
+        triples = []
+        for _ in range(n_inputs):
+            triples.append(refs[idx:idx + 3])
+            idx += 3
         if has_prologue:
             scale_ref, shift_ref = refs[idx:idx + 2]
             idx += 2
@@ -589,10 +599,10 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 
         z = pl.program_id(1)
         n_z = pl.num_programs(1)
-        c8 = x_lo_ref.shape[-1]
-        h_in, w_in = x_lo_ref.shape[2], x_lo_ref.shape[3]
+        h_in, w_in = triples[0][0].shape[2], triples[0][0].shape[3]
 
         if variant == "o2a":
+            c8 = triples[0][0].shape[-1]
             in_keep = _parity_lane_masks(h_in, w_in, c8, h_last, w_last)
             pz_in = _pz_lanes(h_in, w_in, c8)
             n_z_in = n_z + 1
@@ -612,22 +622,22 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 t = t.astype(out_ref.dtype)
             return t
 
-        rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
-
         acc = None
-        tap = 0
-        for sz in range(2):
-            base = rows[sz]
-            for sy in range(2):
-                su = base[sy:sy + h_out]
-                for sx in range(2):
-                    sl = su[:, sx:sx + w_out, :]
-                    d = jax.lax.dot_general(
-                        sl, w_ref[tap], (((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = d if acc is None else acc + d
-                    tap += 1
+        for x_lo_ref, x_hi_ref, w_ref in triples:
+            rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
+            tap = 0
+            for sz in range(2):
+                base = rows[sz]
+                for sy in range(2):
+                    su = base[sy:sy + h_out]
+                    for sx in range(2):
+                        sl = su[:, sx:sx + w_out, :]
+                        d = jax.lax.dot_general(
+                            sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = d if acc is None else acc + d
+                        tap += 1
 
         if variant == "a2o":
             # zero the offset output's pad-slot lanes (voxels -1 / N per
@@ -655,11 +665,13 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
                  interpret):
-    bsz = xp.shape[0]
-    c8 = xp.shape[-1]
-    cout8 = wblk8.shape[-1]
+    xps = xp if isinstance(xp, (list, tuple)) else [xp]
+    wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
+    assert len(xps) == len(wblks)
+    bsz = xps[0].shape[0]
+    cout8 = wblks[0].shape[-1]
     has_prologue = in_scale is not None
-    h_in, w_in = xp.shape[2], xp.shape[3]
+    h_in, w_in = xps[0].shape[2], xps[0].shape[3]
 
     # both variants read input rows z, z+1 — affine maps keep Mosaic's
     # double-buffered pipeline (clamped maps serialized the HBM fetches)
@@ -669,14 +681,22 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
     def hi(b, z):
         return (b, z + 1, 0, 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, h_in, w_in, c8), lo, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, h_in, w_in, c8), hi, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    inputs = [xp, xp, wblk8]
+    in_specs = []
+    inputs = []
+    for xpi, wblki in zip(xps, wblks):
+        c8i = xpi.shape[-1]
+        assert xpi.shape[2] == h_in and xpi.shape[3] == w_in
+        in_specs += [
+            pl.BlockSpec((1, 1, h_in, w_in, c8i), lo,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h_in, w_in, c8i), hi,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c8i, cout8), lambda b, z: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [xpi, xpi, wblki]
     if has_prologue:
+        c8 = xps[0].shape[-1]
         for arr in (in_scale, in_shift):
             in_specs.append(pl.BlockSpec((1, 1, c8), lambda b, z: (b, 0, 0),
                                          memory_space=pltpu.VMEM))
@@ -697,7 +717,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
         _make_fused8_kernel(h_out, w_out, variant=variant,
                             has_prologue=has_prologue, neg_slope=neg_slope,
                             want_stats=want_stats, h_last=h_last,
-                            w_last=w_last),
+                            w_last=w_last, n_inputs=len(xps)),
         grid=(bsz, d_out),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -736,6 +756,29 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
         xp, wblk8, variant="a2o", d_out=d2 + 1, h_out=h2 + 1, w_out=w_out,
         h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
         want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
+    )
+
+
+def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
+                           out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Multi-part blocked_conv_a2o: one kernel convolves every aligned-s2d
+    part (same spatial grid, channel counts may differ) with its own
+    weights and sums the results in the accumulator — the single-pass form
+    of conv(cat(parts)) by linearity. Stats, when requested, are taken on
+    the summed output inside the kernel, so neither the part sum nor its
+    two reduction passes ever materialize in XLA."""
+    bsz, d2, h2, w2, _ = xs_list[0].shape
+    w_out = _pad8(w2 + 1)
+    w_in = _pad8(w_out + 1)
+    xps = [
+        jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (1, w_in - 1 - w2), (0, 0)))
+        for xs in xs_list
+    ]
+    return _fused8_call(
+        xps, list(wblk8_list), variant="a2o", d_out=d2 + 1, h_out=h2 + 1,
+        w_out=w_out, h_last=h2, w_last=w2, in_scale=None, in_shift=None,
+        neg_slope=1.0, want_stats=want_stats, out_dtype=out_dtype,
+        interpret=interpret,
     )
 
 

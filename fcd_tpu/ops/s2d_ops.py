@@ -218,7 +218,7 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     (bytes-bound; fusing it into conv1 would exceed scoped VMEM at the
     full-resolution shapes)."""
     from fcd_tpu.kernels.block_conv import (
-        blocked_conv_a2o,
+        blocked_conv_a2o_multi,
         blocked_conv_o2a,
         make_blocked_weights_8tap,
     )
@@ -230,11 +230,10 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     is_batch = norm_name == "batch"
     want_stats = not is_batch
     need_res = wres is not None
-    single = len(parts) == 1
 
-    # --- conv1: aligned -> offset, summed over input parts ---
-    y1 = None
-    s1sum = s1sq = None
+    # --- conv1: aligned -> offset, every part in ONE kernel (the part sum
+    # and its statistics accumulate in VMEM — no XLA sum/reduction passes) ---
+    xs_list, wblk_list = [], []
     off = 0
     for xs, c in parts:
         w1p = w1[..., off:off + c, :].astype(jnp.float32)
@@ -247,24 +246,17 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
                 ((0, 0),) * 4 + ((0, 0), (0, 16 - c)),
             ).reshape(b_, d_, h_, w_, 8 * 16)
             w1p = jnp.pad(w1p, ((0, 0),) * 3 + ((0, 16 - c), (0, 0)))
-        wblk = make_blocked_weights_8tap(w1p).astype(jnp.bfloat16)
-        outs = blocked_conv_a2o(
-            xs.astype(jnp.bfloat16), wblk, want_stats=want_stats and single,
-            out_dtype=out_dtype, interpret=interpret,
-        )
-        yi = outs[0]
-        if want_stats and single:
-            s1sum, s1sq = outs[1], outs[2]
-        y1 = yi if y1 is None else y1 + yi
+        xs_list.append(xs.astype(jnp.bfloat16))
+        wblk_list.append(make_blocked_weights_8tap(w1p).astype(jnp.bfloat16))
         off += c
-
-    if want_stats and not single:
-        # stats of the part-sum cannot be accumulated per part (cross
-        # terms); like the composed path, taken on the out_dtype sum —
-        # pad-slot lanes are exact zeros so the sums are over true voxels
-        y1f = y1.astype(jnp.float32)
-        s1sum = jnp.sum(y1f, axis=(1, 2, 3)).reshape(b, 1, -1)
-        s1sq = jnp.sum(jnp.square(y1f), axis=(1, 2, 3)).reshape(b, 1, -1)
+    outs = blocked_conv_a2o_multi(
+        xs_list, wblk_list, want_stats=want_stats,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    y1 = outs[0]
+    s1sum = s1sq = None
+    if want_stats:
+        s1sum, s1sq = outs[1], outs[2]
 
     # --- projection shortcut (aligned, block-diag 1x1) ---
     r = None

@@ -36,7 +36,7 @@ def build_predictor():
     variables = init_model(model, params, seed=0)
     use_s2d = (getattr(model, "supports_s2d_input", False)
                and jax.default_backend() == "tpu")
-    predict = make_eval_fn(model, x_is_s2d=use_s2d)
+    predict = make_eval_fn(model, x_is_s2d=use_s2d, s2d_logits=use_s2d)
     if use_s2d:
         x = jnp.zeros((1, 64, 64, 64, 16), jnp.bfloat16)
     else:
