@@ -554,7 +554,8 @@ def _pz_lanes(h_out: int, w_out: int, c8: int):
 def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         has_prologue: bool, neg_slope: float,
                         want_stats: bool, h_last: int, w_last: int,
-                        n_inputs: int = 1):
+                        n_inputs: int = 1, res_hw=None,
+                        want_res_stats: bool = False):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -576,18 +577,29 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
     their conv outputs in the accumulator — the one-kernel form of
     convolving decoder cat-parts separately (linearity), so the part sum
     and its statistics never need separate XLA passes.
+
+    res_hw (a2o only): (h2, w2) aligned dims — each triple carries a 4th
+    ref with block-diag 1x1 weights and the kernel emits the summed
+    projection shortcut as a second output, sharing the input reads. On
+    step z the x_hi slab IS unpadded aligned depth-row z, so the res
+    output writes with an affine map; its last row (z = d2) computes from
+    the zero depth-halo (exact zeros, stats-safe) and the caller slices
+    it off.
     """
     assert variant in ("a2o", "o2a")
     # a2o's H/W halo is XLA zero-padding; an affine prologue would corrupt it
     assert not (variant == "a2o" and has_prologue)
     assert n_inputs == 1 or variant == "a2o"
+    want_res = res_hw is not None
+    assert not (want_res and variant != "a2o")
 
     def kernel(*refs):
         idx = 0
+        per_in = 4 if want_res else 3
         triples = []
         for _ in range(n_inputs):
-            triples.append(refs[idx:idx + 3])
-            idx += 3
+            triples.append(refs[idx:idx + per_in])
+            idx += per_in
         if has_prologue:
             scale_ref, shift_ref = refs[idx:idx + 2]
             idx += 2
@@ -596,6 +608,12 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
         if want_stats:
             ysum_ref, ysq_ref = refs[idx:idx + 2]
             idx += 2
+        if want_res:
+            res_ref = refs[idx]
+            idx += 1
+            if want_res_stats:
+                rsum_ref, rsq_ref = refs[idx:idx + 2]
+                idx += 2
 
         z = pl.program_id(1)
         n_z = pl.num_programs(1)
@@ -623,7 +641,9 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
             return t
 
         acc = None
-        for x_lo_ref, x_hi_ref, w_ref in triples:
+        racc = None
+        for trip in triples:
+            x_lo_ref, x_hi_ref, w_ref = trip[:3]
             rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
             tap = 0
             for sz in range(2):
@@ -638,6 +658,15 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         )
                         acc = d if acc is None else acc + d
                         tap += 1
+            if want_res:
+                rh, rw = res_hw
+                # x_hi IS aligned depth-row z (interior of the H/W halo)
+                rsl = rows[1][1:1 + rh, 1:1 + rw, :]
+                rd = jax.lax.dot_general(
+                    rsl, trip[3][0], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                racc = rd if racc is None else racc + rd
 
         if variant == "a2o":
             # zero the offset output's pad-slot lanes (voxels -1 / N per
@@ -659,15 +688,31 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
             ysq_ref[0] += jnp.sum(jnp.square(acc), axis=(0, 1),
                                   keepdims=True)[0]
 
+        if want_res:
+            res_ref[0, 0] = racc.astype(res_ref.dtype)
+            if want_res_stats:
+                # the last grid step's racc computes from the zero depth
+                # halo — exact zeros, so it contributes nothing to the sums
+                @pl.when(z == 0)
+                def _():
+                    rsum_ref[...] = jnp.zeros_like(rsum_ref)
+                    rsq_ref[...] = jnp.zeros_like(rsq_ref)
+
+                rsum_ref[0] += jnp.sum(racc, axis=(0, 1), keepdims=True)[0]
+                rsq_ref[0] += jnp.sum(jnp.square(racc), axis=(0, 1),
+                                      keepdims=True)[0]
+
     return kernel
 
 
 def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
-                 interpret):
+                 interpret, res_wblks=None, res_hw=None,
+                 want_res_stats=False):
     xps = xp if isinstance(xp, (list, tuple)) else [xp]
     wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
     assert len(xps) == len(wblks)
+    want_res = res_wblks is not None
     bsz = xps[0].shape[0]
     cout8 = wblks[0].shape[-1]
     has_prologue = in_scale is not None
@@ -683,7 +728,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
 
     in_specs = []
     inputs = []
-    for xpi, wblki in zip(xps, wblks):
+    for i, (xpi, wblki) in enumerate(zip(xps, wblks)):
         c8i = xpi.shape[-1]
         assert xpi.shape[2] == h_in and xpi.shape[3] == w_in
         in_specs += [
@@ -695,6 +740,12 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                          memory_space=pltpu.VMEM),
         ]
         inputs += [xpi, xpi, wblki]
+        if want_res:
+            rcout8 = res_wblks[i].shape[-1]
+            in_specs.append(
+                pl.BlockSpec((1, c8i, rcout8), lambda b, z: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            inputs.append(res_wblks[i].reshape(1, c8i, rcout8))
     if has_prologue:
         c8 = xps[0].shape[-1]
         for arr in (in_scale, in_shift):
@@ -712,12 +763,28 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                                  memory_space=pltpu.VMEM)
         out_specs += [stat_spec, stat_spec]
         out_shape += [jax.ShapeDtypeStruct((bsz, 1, cout8), jnp.float32)] * 2
+    if want_res:
+        rh, rw = res_hw
+        rcout8 = res_wblks[0].shape[-1]
+        out_specs.append(pl.BlockSpec((1, 1, rh, rw, rcout8),
+                                      lambda b, z: (b, z, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, d_out, rh, rw, rcout8),
+                                              out_dtype))
+        if want_res_stats:
+            rstat = pl.BlockSpec((1, 1, rcout8), lambda b, z: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            out_specs += [rstat, rstat]
+            out_shape += [jax.ShapeDtypeStruct((bsz, 1, rcout8),
+                                               jnp.float32)] * 2
 
     result = pl.pallas_call(
         _make_fused8_kernel(h_out, w_out, variant=variant,
                             has_prologue=has_prologue, neg_slope=neg_slope,
                             want_stats=want_stats, h_last=h_last,
-                            w_last=w_last, n_inputs=len(xps)),
+                            w_last=w_last, n_inputs=len(xps),
+                            res_hw=res_hw if want_res else None,
+                            want_res_stats=want_res_stats),
         grid=(bsz, d_out),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -760,13 +827,20 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
 
 
 def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
+                           res_wblk_list=None, want_res_stats: bool = False,
                            out_dtype=jnp.bfloat16, interpret: bool = False):
     """Multi-part blocked_conv_a2o: one kernel convolves every aligned-s2d
     part (same spatial grid, channel counts may differ) with its own
     weights and sums the results in the accumulator — the single-pass form
     of conv(cat(parts)) by linearity. Stats, when requested, are taken on
     the summed output inside the kernel, so neither the part sum nor its
-    two reduction passes ever materialize in XLA."""
+    two reduction passes ever materialize in XLA.
+
+    res_wblk_list: per-part block-diag 1x1 weights (8c, 8oc) — the kernel
+    also emits the summed projection shortcut on the ALIGNED grid (sharing
+    the input reads), returned as (B, d2+1, h2, w2, 8oc) whose LAST depth
+    row computes from the zero halo; callers use res[:, :d2].
+    Returns (y[, ysum, ysq][, res[, rsum, rsq]])."""
     bsz, d2, h2, w2, _ = xs_list[0].shape
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
@@ -779,6 +853,9 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
         w_out=w_out, h_last=h2, w_last=w2, in_scale=None, in_shift=None,
         neg_slope=1.0, want_stats=want_stats, out_dtype=out_dtype,
         interpret=interpret,
+        res_wblks=None if res_wblk_list is None else list(res_wblk_list),
+        res_hw=None if res_wblk_list is None else (h2, w2),
+        want_res_stats=want_res_stats,
     )
 
 

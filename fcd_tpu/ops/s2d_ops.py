@@ -220,6 +220,7 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_a2o_multi,
         blocked_conv_o2a,
+        make_blocked_weights_1x1,
         make_blocked_weights_8tap,
     )
 
@@ -232,11 +233,14 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     need_res = wres is not None
 
     # --- conv1: aligned -> offset, every part in ONE kernel (the part sum
-    # and its statistics accumulate in VMEM — no XLA sum/reduction passes) ---
-    xs_list, wblk_list = [], []
+    # and its statistics accumulate in VMEM — no XLA sum/reduction passes);
+    # the projection shortcut rides along as a second output sharing the
+    # input reads, with its own in-kernel statistics ---
+    xs_list, wblk_list, rwblk_list = [], [], []
     off = 0
     for xs, c in parts:
         w1p = w1[..., off:off + c, :].astype(jnp.float32)
+        wrp = wres[off:off + c].astype(jnp.float32) if need_res else None
         if c < 16:
             # Mosaic rejects the odd-slab shape cast on sub-128-lane
             # operands; pad the parity groups (and weights) to c=16
@@ -246,26 +250,32 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
                 ((0, 0),) * 4 + ((0, 0), (0, 16 - c)),
             ).reshape(b_, d_, h_, w_, 8 * 16)
             w1p = jnp.pad(w1p, ((0, 0),) * 3 + ((0, 16 - c), (0, 0)))
+            if need_res:
+                wrp = jnp.pad(wrp, ((0, 16 - c), (0, 0)))
         xs_list.append(xs.astype(jnp.bfloat16))
         wblk_list.append(make_blocked_weights_8tap(w1p).astype(jnp.bfloat16))
+        if need_res:
+            rwblk_list.append(
+                make_blocked_weights_1x1(wrp).astype(jnp.bfloat16))
         off += c
     outs = blocked_conv_a2o_multi(
         xs_list, wblk_list, want_stats=want_stats,
+        res_wblk_list=rwblk_list if need_res else None,
+        want_res_stats=need_res and want_stats,
         out_dtype=out_dtype, interpret=interpret,
     )
     y1 = outs[0]
+    i = 1
     s1sum = s1sq = None
     if want_stats:
-        s1sum, s1sq = outs[1], outs[2]
-
-    # --- projection shortcut (aligned, block-diag 1x1) ---
-    r = None
+        s1sum, s1sq = outs[i], outs[i + 1]
+        i += 2
+    r = rsum8 = rsq8 = None
     if need_res:
-        off = 0
-        for xs, c in parts:
-            ri = conv1x1_s2d(xs, wres[off:off + c])
-            r = ri if r is None else r + ri
-            off += c
+        r = outs[i][:, :d2]          # last depth row is the zero-halo row
+        i += 1
+        if want_stats:
+            rsum8, rsq8 = outs[i], outs[i + 1]
 
     # --- norm1 affine -> conv2 prologue ---
     if is_batch:
@@ -302,11 +312,9 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
                    * jnp.tile(wnr, 8)[None, None, None, None, :]
                    + jnp.tile(bnr, 8)[None, None, None, None, :])
         else:
-            rf = r.astype(jnp.float32)
-            rsum = jnp.sum(rf, axis=(1, 2, 3)).reshape(b, -1)
-            rsq = jnp.sum(jnp.square(rf), axis=(1, 2, 3)).reshape(b, -1)
-            scr, shr = _inorm_affine_from_sums(rsum, rsq, oc, n_vox)
-            res = (rf * scr[:, None, None, None, :]
+            scr, shr = _inorm_affine_from_sums(
+                rsum8.reshape(b, -1), rsq8.reshape(b, -1), oc, n_vox)
+            res = (r.astype(jnp.float32) * scr[:, None, None, None, :]
                    + shr[:, None, None, None, :])
     else:
         res = parts[0][0].astype(jnp.float32)
