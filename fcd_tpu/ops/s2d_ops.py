@@ -176,6 +176,23 @@ def max_pool_2x_s2d_exit(xs: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.max(v, axis=4)
 
 
+def max_pool_2x_s2d_to_s2d(xs: jnp.ndarray, c: int) -> jnp.ndarray:
+    """2x max pool from one level's s2d tensor straight to the NEXT level's
+    s2d tensor: max over the fine-grid parity lanes, regrouping the coarse
+    2x2x2 blocks into the new parity lanes in the same pass.
+
+    Measured SLOWER than max_pool_2x_s2d_exit + the next block's to_s2d on
+    v5e (bench 8.00 -> 6.82 vol/s): the spatial-dims-into-lanes transpose
+    XLA emits here costs more than the 8x tile-padded pass it saves. Kept
+    for shapes where a cheaper lowering exists; not used by the models.
+    (B, D2, H2, W2, 8c) -> (B, D2/2, H2/2, W2/2, 8c)."""
+    b, d2, h2, w2, c8 = xs.shape
+    v = xs.reshape(b, d2 // 2, 2, h2 // 2, 2, w2 // 2, 2, 8, c)
+    m = jnp.max(v, axis=7)                      # old parity lanes
+    m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7)     # new parity into lanes
+    return m.reshape(b, d2 // 2, h2 // 2, w2 // 2, 8 * c)
+
+
 def upsample2x_into_s2d(x: jnp.ndarray, w: jnp.ndarray,
                         b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Transposed conv k2 s2 emitting directly into s2d layout: every output
