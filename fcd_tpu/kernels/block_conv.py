@@ -881,6 +881,81 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
     )
 
 
+def _make_finale_head_kernel(neg_slope: float, has_bias: bool):
+    """Residual-block finale + segmentation head in one pass: reads the
+    conv2 output y2 and the projection shortcut r (both aligned s2d),
+    applies both norm affines, the residual add and the activation in f32,
+    then the block-diagonal 1x1 head GEMM — the activated block output
+    never round-trips HBM and the head never tempts XLA into a W-minor
+    layout for the lane-sparse logits."""
+
+    def kernel(*refs):
+        y2_ref, r_ref, s2_ref, sh2_ref, sr_ref, shr_ref, wh_ref = refs[:7]
+        idx = 7
+        if has_bias:
+            bh_ref = refs[idx]
+            idx += 1
+        out_ref = refs[idx]
+        t = (y2_ref[0, 0].astype(jnp.float32) * s2_ref[0] + sh2_ref[0]
+             + r_ref[0, 0].astype(jnp.float32) * sr_ref[0] + shr_ref[0])
+        if neg_slope != 1.0:
+            t = jnp.where(t >= 0, t, neg_slope * t)
+        out = jax.lax.dot_general(
+            t.astype(jnp.bfloat16), wh_ref[0], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_bias:
+            out = out + bh_ref[0]
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_finale_head(y2, r, scale2, shift2, scale_r, shift_r, wh_blk,
+                      bias8=None, *, neg_slope: float = 0.01,
+                      out_dtype=jnp.bfloat16, interpret: bool = False):
+    """act(y2*scale2+shift2 + r*scale_r+shift_r) @ wh_blk (+ bias8), one
+    Pallas pass per depth row. y2/r: (B, D2, H2, W2, 8c) aligned s2d;
+    scales/shifts: (B, 8c) f32; wh_blk: (8c, 8oc) block-diag head weights;
+    bias8: (8oc,) parity-tiled bias. Returns (B, D2, H2, W2, 8oc)."""
+    bsz, d2, h2, w2, c8 = y2.shape
+    co8 = wh_blk.shape[-1]
+
+    def row(b, z):
+        return (b, z, 0, 0, 0)
+
+    def bc(b, z):
+        return (b, 0, 0)
+
+    row_spec = pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((1, 1, c8), bc, memory_space=pltpu.VMEM)
+    in_specs = [row_spec, row_spec, aff_spec, aff_spec, aff_spec, aff_spec,
+                pl.BlockSpec((1, c8, co8), lambda b, z: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    inputs = [y2, r,
+              scale2.reshape(bsz, 1, c8).astype(jnp.float32),
+              shift2.reshape(bsz, 1, c8).astype(jnp.float32),
+              scale_r.reshape(bsz, 1, c8).astype(jnp.float32),
+              shift_r.reshape(bsz, 1, c8).astype(jnp.float32),
+              wh_blk.reshape(1, c8, co8)]
+    if bias8 is not None:
+        in_specs.append(pl.BlockSpec((1, 1, co8), bc,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.broadcast_to(
+            bias8.reshape(1, 1, co8), (bsz, 1, co8)).astype(jnp.float32))
+    return pl.pallas_call(
+        _make_finale_head_kernel(neg_slope, bias8 is not None),
+        grid=(bsz, d2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, h2, w2, co8), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d2, h2, w2, co8), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+
 def _make_dw_kernel(h2: int, w2: int):
     """Weight-gradient kernel: dW_blk[tap] = sum over output blocks of
     (shifted input slab)^T (output cotangent slab) — the exact adjoint of
@@ -897,16 +972,18 @@ def _make_dw_kernel(h2: int, w2: int):
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
         rows = (x_m1_ref[0, 0], x_0_ref[0, 0], x_p1_ref[0, 0])
-        g = g_ref[0, 0]                    # (h2, w2, 8cout)
+        # Mosaic's tpu.matmul needs rank-2 operands (a single contracting
+        # dim): flatten (h2, w2, c) -> (h2*w2, c) before each GEMM
+        g2 = g_ref[0, 0].reshape(h2 * w2, g_ref.shape[-1])
         tap = 0
         for r in range(3):
             base = rows[r]
             for u in range(3):
                 su = base[u:u + h2]
                 for v in range(3):
-                    sl = su[:, v:v + w2, :]   # (h2, w2, 8cin)
+                    sl = su[:, v:v + w2, :].reshape(h2 * w2, su.shape[-1])
                     dw_ref[tap] += jax.lax.dot_general(
-                        sl, g, (((0, 1), (0, 1)), ((), ())),
+                        sl, g2, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     tap += 1

@@ -195,14 +195,16 @@ class _MSDSACore(nn.Module):
         t5 = embed_and_attend(x5, fs * 8, fs * 4, 16, self.project_size)
         t6 = embed_and_attend(x6, fs * 16, fs * 8, 32, 32)
 
-        def decoder(feats, inp, skip, skip_s2d=None, emit_s2d=False):
+        def decoder(feats, inp, skip, skip_s2d=None, emit_s2d=False,
+                    head=None):
             if self.upsample_mode is None:
                 return UnetrUpBlock(
                     out_channels=feats, kernel_size=3, upsample_kernel_size=2,
                     norm_name=self.norm_name, act_name=self.act_name,
                     res_block=self.res_block, use_bias=self.use_bias,
                     dtype=self.dtype,
-                )(inp, skip, train=train, skip_s2d=skip_s2d, emit_s2d=emit_s2d)
+                )(inp, skip, train=train, skip_s2d=skip_s2d,
+                  emit_s2d=emit_s2d, head=head)
             return GeneralUnetrUpBlock(
                 out_channels=feats, kernel_size=3,
                 norm_name=self.norm_name, act_name=self.act_name,
@@ -216,12 +218,35 @@ class _MSDSACore(nn.Module):
         y3 = decoder(fs * 2, y4, t3)
         y2 = decoder(fs * 2, y3, x2,
                      skip_s2d=(x2s, fs * 2) if use_s2d2 else None)
+
+        head = Conv3d(self.out_channels, kernel_size=1, use_bias=True,
+                      dtype=self.dtype)
+        import os as _os
+
+        # eval: fuse the head into the last decoder block's finale kernel
+        # (gates mirror UnetResBlock._s2d_forward's fused-eval branch).
+        # Default OFF: A/B-measured SLOWER on v5e (6.97 vs 7.36 vol/s) —
+        # the Pallas pass's 16-lane output store + per-row DMA pipeline
+        # lose more than the saved XLA finale/head passes and layout flips.
+        fuse_head = (
+            use_s2d1 and not train and not self.use_bias
+            and _os.environ.get("FCD_FUSED_BLOCK", "1") != "0"
+            and _os.environ.get("FCD_FUSED_HEAD", "0") != "0"
+        )
+        if fuse_head:
+            from fcd_tpu.ops.s2d_ops import from_s2d
+
+            wh, bh = head(return_kernel_for=fs)
+            logits_s2d = decoder(fs * 1, y2, x1, skip_s2d=(x1s, fs),
+                                 emit_s2d=True, head=(wh, bh))
+            if emit_s2d_logits:
+                return logits_s2d
+            return from_s2d(logits_s2d, self.out_channels)
+
         y1 = decoder(fs * 1, y2, x1,
                      skip_s2d=(x1s, fs) if use_s2d1 else None,
                      emit_s2d=use_s2d1)
 
-        head = Conv3d(self.out_channels, kernel_size=1, use_bias=True,
-                      dtype=self.dtype)
         if use_s2d1:
             from fcd_tpu.ops.s2d_ops import from_s2d
 

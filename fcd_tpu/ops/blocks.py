@@ -85,10 +85,12 @@ class UnetResBlock(nn.Module):
             return self.act_name[1].get("negative_slope", 0.01)
         return 0.01
 
-    def _s2d_forward(self, parts, train: bool, emit_s2d: bool = False):
+    def _s2d_forward(self, parts, train: bool, emit_s2d: bool = False,
+                     head=None):
         import os
 
         from fcd_tpu.ops.s2d_ops import (
+            conv1x1_s2d,
             from_s2d,
             instance_norm_s2d,
             leaky_relu_s2d,
@@ -131,7 +133,10 @@ class UnetResBlock(nn.Module):
                 bn_affines=(a1, a2, ar) if is_batch else None,
                 out_dtype=jnp.bfloat16 if self.dtype == jnp.bfloat16
                 else jnp.float32,
+                head=head,
             )
+            if head is not None:
+                return out  # s2d logits — caller owns the exit layout
             if emit_s2d:
                 return out
             return from_s2d(out, oc)
@@ -162,17 +167,25 @@ class UnetResBlock(nn.Module):
             rs = parts[0][0]
 
         out = leaky_relu_s2d(ys + rs, slope)
+        if head is not None:
+            whk, bhb = head
+            if whk.ndim == 5:
+                whk = whk[0, 0, 0]
+            out = conv1x1_s2d(out, whk)
+            if bhb is not None:
+                out = out + jnp.tile(bhb, 8).astype(out.dtype)
+            return out
         if emit_s2d:
             return out
         return from_s2d(out, oc)
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
-                 emit_s2d: bool = False):
+                 emit_s2d: bool = False, head=None):
         from fcd_tpu.ops.s2d_ops import to_s2d
 
         if s2d_parts is not None:
-            return self._s2d_forward(s2d_parts, train, emit_s2d)
+            return self._s2d_forward(s2d_parts, train, emit_s2d, head=head)
 
         in_channels = x.shape[-1]
         elig = _s2d_block_eligible(
@@ -286,7 +299,7 @@ class UnetrUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip=None, *, train: bool = False, skip_s2d=None,
-                 emit_s2d: bool = False):
+                 emit_s2d: bool = False, head=None):
         transp = ConvTranspose3d(
             self.out_channels,
             kernel_size=self.upsample_kernel_size,
@@ -334,8 +347,10 @@ class UnetrUpBlock(nn.Module):
                 train=train,
                 s2d_parts=[(up_s2d, self.out_channels), (sk, skip_c)],
                 emit_s2d=emit_s2d,
+                head=head,
             )
 
+        assert head is None, "head fusion requires the s2d decoder path"
         out = transp(x)
         if self.fuse == "cat":
             out = jnp.concatenate([out, skip], axis=-1)

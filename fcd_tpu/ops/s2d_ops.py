@@ -226,7 +226,7 @@ def _inorm_affine_from_sums(s1: jnp.ndarray, s2: jnp.ndarray, c: int,
 
 
 def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
-                          norm_name: str, bn_affines, out_dtype):
+                          norm_name: str, bn_affines, out_dtype, head=None):
     """Eval-mode UnetResBlock via the HALF-OFFSET 8-tap kernel pair:
     conv1 runs aligned->offset, conv2 offset->aligned (with norm1 + act
     fused into its VMEM prologue), so each conv carries only 64/27 = 2.37x
@@ -311,31 +311,55 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     )
     y2 = outs2[0]
 
-    # --- norm2 + residual norm + add + act (one fused XLA pass) ---
+    # --- norm2 + residual norm + add + act (+ optional fused head) ---
     if is_batch:
         wn2, bn2 = bn_affines[1]
-        scale2 = jnp.tile(wn2, 8)[None, None, None, None, :]
-        shift2 = jnp.tile(bn2, 8)[None, None, None, None, :]
+        sc = jnp.broadcast_to(jnp.tile(wn2, 8)[None], (b, 8 * oc))
+        sh = jnp.broadcast_to(jnp.tile(bn2, 8)[None], (b, 8 * oc))
     else:
         sc, sh = _inorm_affine_from_sums(
             outs2[1].reshape(b, -1), outs2[2].reshape(b, -1), oc, n_vox)
-        scale2 = sc[:, None, None, None, :]
-        shift2 = sh[:, None, None, None, :]
 
     if need_res:
         if is_batch:
             wnr, bnr = bn_affines[2]
-            res = (r.astype(jnp.float32)
-                   * jnp.tile(wnr, 8)[None, None, None, None, :]
-                   + jnp.tile(bnr, 8)[None, None, None, None, :])
+            scr = jnp.broadcast_to(jnp.tile(wnr, 8)[None], (b, 8 * oc))
+            shr = jnp.broadcast_to(jnp.tile(bnr, 8)[None], (b, 8 * oc))
         else:
             scr, shr = _inorm_affine_from_sums(
                 rsum8.reshape(b, -1), rsq8.reshape(b, -1), oc, n_vox)
-            res = (r.astype(jnp.float32) * scr[:, None, None, None, :]
-                   + shr[:, None, None, None, :])
+        rin = r
     else:
-        res = parts[0][0].astype(jnp.float32)
+        # identity shortcut: fold as r*1 + 0
+        rin = parts[0][0]
+        scr = jnp.ones((b, 8 * oc), jnp.float32)
+        shr = jnp.zeros((b, 8 * oc), jnp.float32)
 
+    if head is not None:
+        # segmentation-head fusion: the finale and the 1x1 head run as one
+        # Pallas pass; the activated block output never hits HBM
+        from fcd_tpu.kernels.block_conv import (
+            fused_finale_head,
+            make_blocked_weights_1x1,
+        )
+
+        whk, bhb = head
+        if whk.ndim == 5:
+            whk = whk[0, 0, 0]
+        wh_blk = make_blocked_weights_1x1(
+            whk.astype(jnp.float32)).astype(jnp.bfloat16)
+        bias8 = None if bhb is None else jnp.tile(bhb, 8)
+        return fused_finale_head(
+            y2, rin, sc, sh, scr, shr, wh_blk, bias8, neg_slope=slope,
+            out_dtype=out_dtype, interpret=interpret)
+
+    scale2 = sc[:, None, None, None, :]
+    shift2 = sh[:, None, None, None, :]
+    if need_res:
+        res = (rin.astype(jnp.float32) * scr[:, None, None, None, :]
+               + shr[:, None, None, None, :])
+    else:
+        res = rin.astype(jnp.float32)
     out = y2.astype(jnp.float32) * scale2 + shift2 + res
     out = jnp.where(out >= 0, out, slope * out)
     return out.astype(out_dtype)
@@ -343,8 +367,12 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
 
 def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
                         norm_name: str = "instance", bn_affines=None,
-                        out_dtype=jnp.bfloat16):
+                        out_dtype=jnp.bfloat16, head=None):
     """Eval-mode UnetResBlock on aligned s2d parts with kernel-fused norms.
+
+    head=(kernel, bias|None): fuse a 1x1 segmentation head into the block
+    finale (one Pallas pass emits the s2d logits directly); the returned
+    tensor is then the logits, not the block output.
 
     Three fused kernel passes replace the ~10 memory passes of the
     composed form: conv1 (+ fused 1x1 residual sharing the input reads,
@@ -361,7 +389,8 @@ def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
 
     if os.environ.get("FCD_CONV8", "1") != "0":
         return _fused_resblock_eval8(parts, w1, w2, wres, oc, slope,
-                                     norm_name, bn_affines, out_dtype)
+                                     norm_name, bn_affines, out_dtype,
+                                     head=head)
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_s2d_fused,
         make_blocked_weights_1x1,
@@ -489,7 +518,15 @@ def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
 
     out = y2.astype(jnp.float32) * scale2 + shift2 + res
     out = jnp.where(out >= 0, out, slope * out)
-    return out.astype(out_dtype)
+    out = out.astype(out_dtype)
+    if head is not None:
+        whk, bhb = head
+        if whk.ndim == 5:
+            whk = whk[0, 0, 0]
+        out = conv1x1_s2d(out, whk)
+        if bhb is not None:
+            out = out + jnp.tile(bhb, 8).astype(out.dtype)
+    return out
 
 
 def s2d_supported(shape: Sequence[int], cin: int, cout: int,

@@ -1,7 +1,11 @@
 """TPU training-step benchmark at the production config (patch 128^3,
 batch = batch_size x samples_per_case, bf16, MS_DSA_NET fs16)."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -366,6 +366,32 @@ def test_fused_resblock_eval_cat_parts(monkeypatch):
     np.testing.assert_allclose(got, want, atol=0.05 * scale)
 
 
+def test_fused_resblock_eval_with_head(monkeypatch):
+    """Head-fused finale (one Pallas pass: norm2 + residual norm + add +
+    act + 1x1 head) matches the composed reference + separate head."""
+    from fcd_tpu.ops.s2d_ops import fused_resblock_eval
+
+    monkeypatch.setenv("FCD_CONV8", "1")
+    rng = np.random.RandomState(21)
+    oc, out_ch = 16, 2
+    a = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32)) - 0.5
+    b = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32)) - 0.5
+    w1 = jnp.asarray(rng.rand(3, 3, 3, 32, oc).astype(np.float32)) * 0.4 - 0.2
+    w2 = jnp.asarray(rng.rand(3, 3, 3, oc, oc).astype(np.float32)) * 0.4 - 0.2
+    wres = jnp.asarray(rng.rand(32, oc).astype(np.float32)) * 0.4 - 0.2
+    wh = jnp.asarray(rng.rand(oc, out_ch).astype(np.float32)) * 0.4 - 0.2
+    bh = jnp.asarray(rng.rand(out_ch).astype(np.float32)) * 0.1
+    feats = np.asarray(
+        _composed_resblock_ref(jnp.concatenate([a, b], -1), w1, w2, wres))
+    want = np.asarray(jnp.einsum("bdhwc,co->bdhwo", feats, wh) + bh)
+    got = np.asarray(from_s2d(
+        fused_resblock_eval([(to_s2d(a), 16), (to_s2d(b), 16)], w1, w2, wres,
+                            oc, 0.01, out_dtype=jnp.float32,
+                            head=(wh, bh)), out_ch))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
 def test_blocked_conv_8tap_pair_matches_reference_conv():
     """a2o then o2a (identity prologue) == two chained 3x3x3 'same' convs."""
     from fcd_tpu.kernels.block_conv import (
