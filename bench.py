@@ -85,8 +85,12 @@ def main() -> None:
 
     from fcd_tpu.infer.sliding_window import patch_s2d_compatible
 
+    import os
+
     params = get_default_params()
     params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True)
+    if os.environ.get("FCD_BENCH_SW_BATCH"):   # A/B override only
+        params["sw_batch_size"] = int(os.environ["FCD_BENCH_SW_BATCH"])
     model, params = get_model(params)
     variables = init_model(model, params, seed=0)
     use_s2d_patches = (

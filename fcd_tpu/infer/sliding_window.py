@@ -22,6 +22,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _exit_d2s(out, out_channels: int):
+    """Volume-exit depth_to_space, formulation selected by FCD_SW_EXIT:
+    'mm' (default) = MXU lane-permutation matmul (depth_to_space_mm);
+    'reshape' = reshape+transpose; 'conv' = lhs-dilated one-hot conv.
+    A/B on v5e (full bench): mm 7.98 vs reshape 7.75 vol/s — the matmul
+    replaces the reshape form's ~7 ms lane-crossing pass, but the
+    boundary-layout copy+reshape after it (~10 ms) remains either way
+    (the jit output layout for (D,H,W,2) f32 is transfer-oriented)."""
+    import os
+
+    from fcd_tpu.kernels.block_conv import (
+        depth_to_space,
+        depth_to_space_fast,
+        depth_to_space_mm,
+    )
+
+    form = os.environ.get("FCD_SW_EXIT", "mm")
+    if form == "reshape":
+        return depth_to_space(out, out_channels)
+    if form == "conv":
+        return depth_to_space_fast(out, out_channels)
+    return depth_to_space_mm(out, out_channels)
+
+
 def dense_patch_starts(
     image_size: Sequence[int], roi_size: Sequence[int], overlap: float
 ) -> np.ndarray:
@@ -69,12 +93,12 @@ def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> 
     return imp.astype(np.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("predictor", "roi_size", "sw_batch", "out_channels", "blend",
-                     "sigma_scale", "compute_dtype", "patch_s2d", "s2d_logits"),
-)
-def _sliding_window_jit(
+_SW_STATIC_ARGNAMES = ("predictor", "roi_size", "sw_batch", "out_channels",
+                       "blend", "sigma_scale", "compute_dtype", "patch_s2d",
+                       "s2d_logits")
+
+
+def _sliding_window_impl(
     volume: jnp.ndarray,            # (D, H, W, C) already padded to >= roi
     starts: jnp.ndarray,            # (n_padded, 3) int32 patch starts
     valid: jnp.ndarray,             # (n_padded,) float32 1/0 validity weights
@@ -153,7 +177,7 @@ def _sliding_window_jit(
 
         acc, _ = jax.lax.scan(body, acc, jnp.arange(n_batches))
         out = acc * jnp.repeat(inv_cnt, out_channels, axis=-1)
-        return depth_to_space(out[None], out_channels)[0]
+        return _exit_d2s(out[None], out_channels)[0]
 
     acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
 
@@ -175,6 +199,29 @@ def _sliding_window_jit(
 
     acc, _ = jax.lax.scan(body, acc, jnp.arange(n_batches))
     return acc * inv_cnt
+
+
+_sliding_window_jit = jax.jit(_sliding_window_impl,
+                              static_argnames=_SW_STATIC_ARGNAMES)
+
+
+@functools.lru_cache(maxsize=1)
+def _sliding_window_jit_stdlayout():
+    """Same computation, but the jit OUTPUT pinned to the standard
+    major-to-minor layout (FCD_SW_OUT_LAYOUT=std). Rationale: the default
+    boundary layout XLA picks for a (D, H, W, 2) f32 result is a
+    transfer-oriented T(2,128) form (lanes along H) whose production
+    costs ~10 ms/volume of layout copies after the exit d2s. A/B on v5e:
+    8.03 vs 7.98 vol/s — within run noise, because the forced standard
+    layout pays its own lane-padding on the C=2 minor dim; kept as an
+    env-gated alternative, default off."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    fmt = Format(Layout(major_to_minor=(0, 1, 2, 3)),
+                 SingleDeviceSharding(jax.devices()[0]))
+    return jax.jit(_sliding_window_impl,
+                   static_argnames=_SW_STATIC_ARGNAMES, out_shardings=fmt)
 
 
 @functools.partial(
@@ -253,7 +300,7 @@ def _sliding_window_jit_static(
             acc = jax.lax.dynamic_update_slice(
                 acc, cur + logits[i] * imp_lanes, pos)
         out = acc * jnp.repeat(inv_cnt, out_channels, axis=-1)
-        return depth_to_space(out[None], out_channels)[0]
+        return _exit_d2s(out[None], out_channels)[0]
 
     imp4 = imp[..., None]
     acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
@@ -295,6 +342,22 @@ def _inverse_coverage(padded_shape, roi_size, overlap, sw_batch, blend,
     else:
         inv_cnt_np = inv_cnt_np[..., None]
     return jnp.asarray(inv_cnt_np)
+
+
+@functools.lru_cache(maxsize=8)
+def _device_grid(padded_shape, roi_size, overlap, sw_batch):
+    """Patch-start and validity arrays as DEVICE-RESIDENT constants, cached
+    per grid config: they are static functions of the grid, and re-uploading
+    them per volume costs relay round-trips that show up as host gap."""
+    starts = dense_patch_starts(padded_shape, roi_size, overlap)
+    n = starts.shape[0]
+    n_pad = (-n) % sw_batch
+    valid = np.ones((n + n_pad,), np.float32)
+    if n_pad:
+        starts = np.concatenate(
+            [starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
+        valid[n:] = 0.0
+    return jnp.asarray(starts), jnp.asarray(valid)
 
 
 def patch_s2d_compatible(shape, roi_size, overlap: float) -> bool:
@@ -350,13 +413,8 @@ def sliding_window_inference(
         padded = jnp.pad(volume, cfg)
     pd, ph, pw, _ = padded.shape
 
-    starts = dense_patch_starts((pd, ph, pw), roi_size, overlap)
-    n = starts.shape[0]
-    n_pad = (-n) % sw_batch
-    valid = np.ones((n + n_pad,), np.float32)
-    if n_pad:
-        starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
-        valid[n:] = 0.0
+    starts_dev, valid_dev = _device_grid((pd, ph, pw), roi_size, overlap,
+                                         sw_batch)
 
     inv_cnt = _inverse_coverage(
         (pd, ph, pw), roi_size, overlap, sw_batch, blend, sigma_scale,
@@ -369,12 +427,14 @@ def sliding_window_inference(
         # pre-gathering the patch stack and materializing the full logits
         # stack costs more HBM traffic than the fused gather-predict-
         # scatter pipeline's dynamic slices)
+        starts_np = np.asarray(starts_dev)
+        valid_np = np.asarray(valid_dev)
         out = _sliding_window_jit_static(
             padded,
             inv_cnt,
             predictor=predictor,
-            starts_t=tuple(tuple(int(v) for v in s) for s in starts),
-            valid_t=tuple(bool(v) for v in valid),
+            starts_t=tuple(tuple(int(v) for v in s) for s in starts_np),
+            valid_t=tuple(bool(v) for v in valid_np),
             roi_size=roi_size,
             sw_batch=sw_batch,
             out_channels=out_channels,
@@ -385,10 +445,13 @@ def sliding_window_inference(
             s2d_logits=s2d_logits,
         )
     else:
-        out = _sliding_window_jit(
+        sw_fn = (_sliding_window_jit_stdlayout()
+                 if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
+                 else _sliding_window_jit)
+        out = sw_fn(
             padded,
-            jnp.asarray(starts),
-            jnp.asarray(valid),
+            starts_dev,
+            valid_dev,
             inv_cnt,
             predictor=predictor,
             roi_size=roi_size,

@@ -131,6 +131,47 @@ def depth_to_space_fast(xs: jnp.ndarray, cout: int) -> jnp.ndarray:
         precision=jax.lax.Precision.HIGHEST)
 
 
+@functools.lru_cache(maxsize=8)
+def _d2s_perm_matrix(w2: int, cout: int) -> np.ndarray:
+    """One-hot lane-permutation matrix P (w2*8*cout, 4*2*w2*cout) with
+    P[x*8c + g*c + ch, (2pz+py)*2*w2*c + (2x+px)*c + ch] = 1 for parity
+    group g = 4pz+2py+px — so (s2d row) @ P lays the x/px/c lanes out in
+    native order for all four (pz, py) output-row groups at once. Cached
+    as NUMPY (a cached jnp array would leak tracers across traces)."""
+    n = w2 * 8 * cout
+    p = np.zeros((n, n), np.float32)
+    for x in range(w2):
+        for g in range(8):
+            pz, py, px = (g >> 2) & 1, (g >> 1) & 1, g & 1
+            for c in range(cout):
+                j = ((2 * pz + py) * 2 * w2 * cout
+                     + (2 * x + px) * cout + c)
+                p[x * 8 * cout + g * cout + c, j] = 1.0
+    return p
+
+
+def depth_to_space_mm(x: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """depth_to_space as one MXU lane-permutation matmul + a chunk-
+    contiguous transpose.
+
+    The reshape+transpose form makes XLA move the parity lanes across the
+    minor dims element-by-element (measured ~13 ms/volume in the SW exit
+    context at (91,109,91,16) f32). Multiplying each (z, y) row by a
+    constant permutation matrix does the whole lane shuffle on the MXU,
+    leaving only a (d2, h2, 2, 2, Xc) -> (d2, 2, h2, 2, Xc) transpose that
+    moves contiguous row chunks. Exact at HIGHEST precision (every output
+    is a single x * 1.0 product)."""
+    b, d2, h2, w2, c8 = x.shape
+    p = jnp.asarray(_d2s_perm_matrix(int(w2), int(cout)), x.dtype)
+    flat = x.reshape(b * d2 * h2, w2 * c8)
+    out = jax.lax.dot_general(flat, p, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=x.dtype)
+    out = out.reshape(b, d2, h2, 2, 2, 2 * w2 * cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(b, 2 * d2, 2 * h2, 2 * w2, cout)
+
+
 def _conv_kernel(x_lo_ref, x_hi_ref, w_ref, out_ref, acc_ref):
     """One (batch, depth-row) step: s2d output row Z from s2d rows Z, Z+1.
 
