@@ -195,15 +195,15 @@ class _MSDSACore(nn.Module):
         t5 = embed_and_attend(x5, fs * 8, fs * 4, 16, self.project_size)
         t6 = embed_and_attend(x6, fs * 16, fs * 8, 32, 32)
 
-        def decoder(feats, inp, skip, skip_s2d=None, emit_s2d=False,
-                    head=None):
+        def decoder(feats, inp, skip, skip_s2d=None, x_s2d=None,
+                    emit_s2d=False, head=None):
             if self.upsample_mode is None:
                 return UnetrUpBlock(
                     out_channels=feats, kernel_size=3, upsample_kernel_size=2,
                     norm_name=self.norm_name, act_name=self.act_name,
                     res_block=self.res_block, use_bias=self.use_bias,
                     dtype=self.dtype,
-                )(inp, skip, train=train, skip_s2d=skip_s2d,
+                )(inp, skip, train=train, skip_s2d=skip_s2d, x_s2d=x_s2d,
                   emit_s2d=emit_s2d, head=head)
             return GeneralUnetrUpBlock(
                 out_channels=feats, kernel_size=3,
@@ -213,11 +213,41 @@ class _MSDSACore(nn.Module):
                 dtype=self.dtype,
             )(inp, skip, train=train)
 
-        y5 = decoder(fs * 8, t6, t5)
-        y4 = decoder(fs * 4, y5, t4)
-        y3 = decoder(fs * 2, y4, t3)
-        y2 = decoder(fs * 2, y3, x2,
-                     skip_s2d=(x2s, fs * 2) if use_s2d2 else None)
+        # s2d decoder chaining: when two consecutive decoders both run
+        # s2d-resident, the producer emits s2d and the consumer's upsample
+        # chains s2d-to-s2d — the lane-sparse from_s2d exit between them
+        # never happens (profiled ~4 ms/volume at the level 2->1 seam).
+        def dec_cap(spatial, oc, skip_is_s2d):
+            if self.upsample_mode is not None or not self.res_block:
+                return False
+            if skip_is_s2d:
+                return True
+            return _s2d_block_eligible(
+                spatial, 2 * oc, oc, 3, 1, self.norm_name, self.act_name,
+                self.dtype, part_channels=[oc, oc])
+
+        s16 = tuple(s // 16 for s in full)
+        s8 = tuple(s // 8 for s in full)
+        s4 = tuple(s // 4 for s in full)
+        cap5 = dec_cap(s16, fs * 8, False)
+        cap4 = dec_cap(s8, fs * 4, False)
+        cap3 = dec_cap(s4, fs * 2, False)
+        cap2 = dec_cap(half, fs * 2, use_s2d2)
+        cap1 = dec_cap(full, fs * 1, use_s2d1)
+        chain54, chain43 = cap5 and cap4, cap4 and cap3
+        chain32, chain21 = cap3 and cap2, cap2 and cap1
+
+        y5 = decoder(fs * 8, t6, t5, emit_s2d=chain54)
+        y4 = decoder(fs * 4, None if chain54 else y5, t4,
+                     x_s2d=(y5, fs * 8) if chain54 else None,
+                     emit_s2d=chain43)
+        y3 = decoder(fs * 2, None if chain43 else y4, t3,
+                     x_s2d=(y4, fs * 4) if chain43 else None,
+                     emit_s2d=chain32)
+        y2 = decoder(fs * 2, None if chain32 else y3, x2,
+                     x_s2d=(y3, fs * 2) if chain32 else None,
+                     skip_s2d=(x2s, fs * 2) if use_s2d2 else None,
+                     emit_s2d=chain21)
 
         head = Conv3d(self.out_channels, kernel_size=1, use_bias=True,
                       dtype=self.dtype)
@@ -237,13 +267,16 @@ class _MSDSACore(nn.Module):
             from fcd_tpu.ops.s2d_ops import from_s2d
 
             wh, bh = head(return_kernel_for=fs)
-            logits_s2d = decoder(fs * 1, y2, x1, skip_s2d=(x1s, fs),
+            logits_s2d = decoder(fs * 1, None if chain21 else y2, x1,
+                                 x_s2d=(y2, fs * 2) if chain21 else None,
+                                 skip_s2d=(x1s, fs),
                                  emit_s2d=True, head=(wh, bh))
             if emit_s2d_logits:
                 return logits_s2d
             return from_s2d(logits_s2d, self.out_channels)
 
-        y1 = decoder(fs * 1, y2, x1,
+        y1 = decoder(fs * 1, None if chain21 else y2, x1,
+                     x_s2d=(y2, fs * 2) if chain21 else None,
                      skip_s2d=(x1s, fs) if use_s2d1 else None,
                      emit_s2d=use_s2d1)
 

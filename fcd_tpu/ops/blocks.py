@@ -298,8 +298,9 @@ class UnetrUpBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, skip=None, *, train: bool = False, skip_s2d=None,
-                 emit_s2d: bool = False, head=None):
+    def __call__(self, x=None, skip=None, *, train: bool = False,
+                 skip_s2d=None, x_s2d=None, emit_s2d: bool = False,
+                 head=None):
         transp = ConvTranspose3d(
             self.out_channels,
             kernel_size=self.upsample_kernel_size,
@@ -321,9 +322,15 @@ class UnetrUpBlock(nn.Module):
         # s2d-resident decoder fusion: the k2s2 transposed conv is a single
         # matmul straight into s2d layout; the skip converts once (or arrives
         # already s2d via skip_s2d); the cat never materializes (the residual
-        # block convolves the parts separately and sums — linearity).
-        spatial = (tuple(s * 2 for s in x.shape[1:4]) if skip is None
-                   else skip.shape[1:4])
+        # block convolves the parts separately and sums — linearity). With
+        # x_s2d the INPUT also arrives s2d from the previous decoder and the
+        # upsample chains s2d-to-s2d (no lane-sparse exit in between).
+        if skip is not None:
+            spatial = skip.shape[1:4]
+        elif x is not None:
+            spatial = tuple(s * 2 for s in x.shape[1:4])
+        else:
+            spatial = tuple(s * 4 for s in x_s2d[0].shape[1:4])
         skip_c = skip_s2d[1] if skip_s2d is not None else skip.shape[-1]
         if (
             self.res_block
@@ -338,7 +345,7 @@ class UnetrUpBlock(nn.Module):
         ):
             from fcd_tpu.ops.s2d_ops import to_s2d
 
-            up_s2d = transp(x, emit_s2d=True)
+            up_s2d = transp(x, emit_s2d=True, x_s2d=x_s2d)
             if skip_s2d is not None:
                 sk = skip_s2d[0]
             else:
@@ -351,6 +358,10 @@ class UnetrUpBlock(nn.Module):
             )
 
         assert head is None, "head fusion requires the s2d decoder path"
+        if x is None:
+            from fcd_tpu.ops.s2d_ops import from_s2d
+
+            x = from_s2d(x_s2d[0], x_s2d[1])
         out = transp(x)
         if self.fuse == "cat":
             out = jnp.concatenate([out, skip], axis=-1)

@@ -324,14 +324,24 @@ class ConvTranspose3d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, emit_s2d: bool = False):
+    def __call__(self, x=None, *, emit_s2d: bool = False, x_s2d=None):
         k = _triple(self.kernel_size)
         s = _triple(self.stride)
-        kernel = self.param("kernel", self.kernel_init, k + (x.shape[-1], self.features))
+        cin = x_s2d[1] if x_s2d is not None else x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, k + (cin, self.features))
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
             if self.use_bias else None
         )
+        if x_s2d is not None:
+            # input arrives as the coarse grid's s2d tensor: upsample
+            # straight to the fine grid's s2d layout (s2d decoder chaining)
+            from fcd_tpu.ops.s2d_ops import upsample2x_s2d_to_s2d
+
+            assert k == (2, 2, 2) and s == (2, 2, 2) and emit_s2d
+            return upsample2x_s2d_to_s2d(
+                x_s2d[0].astype(jnp.bfloat16), cin,
+                kernel.astype(jnp.bfloat16), bias)
         dtype = self.dtype or x.dtype
         if emit_s2d:
             from fcd_tpu.ops.s2d_ops import upsample2x_into_s2d

@@ -170,10 +170,16 @@ def leaky_relu_s2d(xs: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray
 def max_pool_2x_s2d_exit(xs: jnp.ndarray, c: int) -> jnp.ndarray:
     """2x max pool consuming an s2d tensor: max over the 8 parity groups ->
     the pooled volume at the s2d grid resolution, dense exit for the next
-    (half-resolution) level. Returns (B, D/2, H/2, W/2, C)."""
-    b, d2, h2, w2, c8 = xs.shape
-    v = xs.reshape(b, d2, h2, w2, 8, c)
-    return jnp.max(v, axis=4)
+    (half-resolution) level. Returns (B, D/2, H/2, W/2, C).
+
+    Written as a max chain over static LANE slices, not reshape+reduce:
+    the (.., 8, c) reshape makes XLA relayout the whole tensor to reduce
+    across what were lane sub-groups (profiled ~3 ms/volume in copies +
+    reduce at level 1); slice-max fuses into one lane-dense read pass."""
+    m = xs[..., :c]
+    for g in range(1, 8):
+        m = jnp.maximum(m, xs[..., g * c:(g + 1) * c])
+    return m
 
 
 def max_pool_2x_s2d_to_s2d(xs: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -206,6 +212,30 @@ def upsample2x_into_s2d(x: jnp.ndarray, w: jnp.ndarray,
     wm = wf.reshape(8, cin, cout).transpose(1, 0, 2).reshape(cin, 8 * cout)
     out = jnp.einsum("bdhwc,ck->bdhwk", x, wm.astype(x.dtype),
                      preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + jnp.tile(b, 8).astype(out.dtype)
+    return out
+
+
+def upsample2x_s2d_to_s2d(ys: jnp.ndarray, cin: int, w: jnp.ndarray,
+                          b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Transposed conv k2 s2 from the COARSE grid's s2d tensor straight to
+    the FINE grid's s2d tensor — the s2d-chained form of upsample2x_into_s2d.
+
+    For fine-block position V = 2*vs + p, the upsampled block is
+    ys[vs, p-group] @ W (one input voxel per output block). One block-diag
+    matmul produces Z[vs, (p, q, cout)] for all parities, and a
+    depth-to-space on Z's LANE-DENSE (8*8*cout) channels regroups p into
+    the fine grid — the lane-sparse from_s2d exit between consecutive
+    s2d-resident decoders never happens.
+    ys: (B, d4, h4, w4, 8*cin) s2d of the coarse grid;
+    w: (2, 2, 2, cin, cout) (flax ConvTranspose orientation);
+    returns (B, d2, h2, w2, 8*cout) s2d of the fine grid."""
+    cout = w.shape[4]
+    wf = jnp.flip(w, axis=(0, 1, 2))
+    wm = wf.reshape(8, cin, cout).transpose(1, 0, 2).reshape(cin, 8 * cout)
+    z = conv1x1_s2d(ys, wm)                  # (B, d4, h4, w4, 8*(8*cout))
+    out = from_s2d(z, 8 * cout)              # (B, d2, h2, w2, 8*cout)
     if b is not None:
         out = out + jnp.tile(b, 8).astype(out.dtype)
     return out

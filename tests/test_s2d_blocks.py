@@ -71,6 +71,18 @@ def test_upsample2x_into_s2d_matches_conv_transpose():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_upsample2x_s2d_to_s2d_matches_dense_entry():
+    from fcd_tpu.ops.s2d_ops import upsample2x_s2d_to_s2d
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, 4, 6, 4, 5).astype(np.float32))
+    w = jnp.asarray(rng.rand(2, 2, 2, 5, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(3).astype(np.float32))
+    want = upsample2x_into_s2d(x, w, b)
+    got = upsample2x_s2d_to_s2d(to_s2d(x), 5, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_resblock_s2d_path_matches_standard():
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
