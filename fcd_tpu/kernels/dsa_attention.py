@@ -50,8 +50,38 @@ def _pick_tile(n: int) -> int:
     return n
 
 
-def _phase_a_kernel(x_ref, w_ref, ef_ref, qk_ref, q2_ref, k2_ref,
-                    kp_ref, vp_ref, *, v_sa_slot: int):
+def _token_prologue(x_ref, pe_ref, lns_ref, lnb_ref, ln_eps: float):
+    """Raw-token prologue shared by both phases: (+pos-embed,) LayerNorm.
+
+    Returns (t, xln): the residual base (tokens + pe, f32) and the
+    normalized tokens in the input dtype. With no LN refs, x IS already
+    post-LN and passes through."""
+    x = x_ref[0]                       # (T, C)
+    if lns_ref is None:
+        return None, x
+    t = x.astype(jnp.float32)
+    if pe_ref is not None:
+        t = t + pe_ref[...].astype(jnp.float32)
+    mu = jnp.mean(t, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(t), axis=-1, keepdims=True) - jnp.square(mu)
+    xln = (t - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + ln_eps)
+    xln = xln * lns_ref[0] + lnb_ref[0]
+    return t, xln.astype(x.dtype)
+
+
+def _phase_a_kernel(*refs, v_sa_slot: int, has_pe: bool, has_ln: bool,
+                    ln_eps: float):
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    pe_ref = None
+    lns_ref = lnb_ref = None
+    if has_pe:
+        pe_ref = refs[idx]; idx += 1
+    if has_ln:
+        lns_ref, lnb_ref = refs[idx], refs[idx + 1]; idx += 2
+    w_ref, ef_ref = refs[idx], refs[idx + 1]; idx += 2
+    qk_ref, q2_ref, k2_ref, kp_ref, vp_ref = refs[idx:idx + 5]
+
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -62,7 +92,7 @@ def _phase_a_kernel(x_ref, w_ref, ef_ref, qk_ref, q2_ref, k2_ref,
         kp_ref[...] = jnp.zeros_like(kp_ref)
         vp_ref[...] = jnp.zeros_like(vp_ref)
 
-    x = x_ref[0]                       # (T, C)
+    _, x = _token_prologue(x_ref, pe_ref, lns_ref, lnb_ref, ln_eps)
     ef = ef_ref[...]                   # (T, P)
 
     def proj(slot):
@@ -87,10 +117,23 @@ def _phase_a_kernel(x_ref, w_ref, ef_ref, qk_ref, q2_ref, k2_ref,
             preferred_element_type=jnp.float32)
 
 
-def _phase_b_kernel(x_ref, w_ref, qn_ref, abig_ref, kbig_ref, vbig_ref,
-                    out_ref, *, sa_type: str, num_heads: int,
-                    v_ca_slot: int, v_sa_slot: int):
-    x = x_ref[0]                       # (T, C)
+def _phase_b_kernel(*refs, sa_type: str, num_heads: int,
+                    v_ca_slot: int, v_sa_slot: int, has_pe: bool,
+                    has_ln: bool, has_res: bool, ln_eps: float):
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    pe_ref = None
+    lns_ref = lnb_ref = gamma_ref = None
+    if has_pe:
+        pe_ref = refs[idx]; idx += 1
+    if has_ln:
+        lns_ref, lnb_ref = refs[idx], refs[idx + 1]; idx += 2
+    if has_res:
+        gamma_ref = refs[idx]; idx += 1
+    w_ref, qn_ref, abig_ref, kbig_ref, vbig_ref = refs[idx:idx + 5]
+    out_ref = refs[idx + 5]
+
+    tbase, x = _token_prologue(x_ref, pe_ref, lns_ref, lnb_ref, ln_eps)
 
     def proj(slot):
         return jax.lax.dot_general(
@@ -128,15 +171,19 @@ def _phase_b_kernel(x_ref, w_ref, qn_ref, abig_ref, kbig_ref, vbig_ref,
         else:
             out = out + sa_acc
 
+    if has_res:
+        # residual epilogue: out = (tokens + pe) + gamma * attn — the
+        # post-attention token tensor never round-trips HBM separately
+        out = tbase + gamma_ref[0] * out
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "sa_type", "interpret"),
+    static_argnames=("num_heads", "sa_type", "interpret", "ln_eps"),
 )
 def dsa_fused(
-    xln: jnp.ndarray,           # (B, N, C) post-LayerNorm tokens
+    xln: jnp.ndarray,           # (B, N, C) tokens — post-LN, or RAW with ln_*
     w_qkvv: jnp.ndarray,        # (num_slots, C, C) projection weights
     ef: jnp.ndarray,            # (N, P) learned sequence projection
     temperature: jnp.ndarray,   # (h,) channel-attention temperature
@@ -144,10 +191,21 @@ def dsa_fused(
     *,
     num_heads: int,
     sa_type: str = "parallel",
+    ln_scale: jnp.ndarray = None,   # (C,) fuse LayerNorm into the kernels:
+    ln_bias: jnp.ndarray = None,    # xln is then the RAW token tensor
+    ln_eps: float = 1e-5,
+    pos_embed: jnp.ndarray = None,  # (N, C) fused pos-embed add
+    res_gamma: jnp.ndarray = None,  # (C,) fused residual: out = t + gamma*attn
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused DSA forward. Returns (B, N, C), head-major assembly —
-    numerically equivalent (eval mode) to ops.attention.DSA."""
+    numerically equivalent (eval mode) to ops.attention.DSA.
+
+    With ln_scale/ln_bias the input is the RAW token tensor and both
+    phases apply (pos-embed +) LayerNorm in their VMEM prologue; with
+    res_gamma phase B emits the transformer residual directly — the
+    normalized tokens and the attention output never round-trip HBM
+    (the separate LN pass costs ~2.5 ms/volume at the level-3 shape)."""
     b, n, c = xln.shape
     p = ef.shape[1]
     h = num_heads
@@ -155,6 +213,10 @@ def dsa_fused(
     tile = _pick_tile(n)
     nt = n // tile
     dtype = xln.dtype
+    has_ln = ln_scale is not None
+    has_pe = pos_embed is not None
+    has_res = res_gamma is not None
+    assert has_ln or (not has_pe and not has_res)
 
     v_ca_slot = 2
     v_sa_slot = {"parallel": 3, "spatial": 2, "serial": 2, "channel": -1}[sa_type]
@@ -162,13 +224,26 @@ def dsa_fused(
     ef_b = ef.astype(dtype)
     w_b = w_qkvv.astype(dtype)
 
+    tok_specs = [pl.BlockSpec((1, tile, c), lambda bb, t: (bb, t, 0),
+                              memory_space=pltpu.VMEM)]
+    tok_inputs = [xln]
+    if has_pe:
+        tok_specs.append(pl.BlockSpec((tile, c), lambda bb, t: (t, 0),
+                                      memory_space=pltpu.VMEM))
+        tok_inputs.append(pos_embed.astype(jnp.float32))
+    if has_ln:
+        aff = pl.BlockSpec((1, c), lambda bb, t: (0, 0),
+                           memory_space=pltpu.VMEM)
+        tok_specs += [aff, aff]
+        tok_inputs += [ln_scale.reshape(1, c).astype(jnp.float32),
+                       ln_bias.reshape(1, c).astype(jnp.float32)]
+
     # ---- Phase A: global reductions over tokens ----
     qk_raw, q2, k2, kp, vp = pl.pallas_call(
-        functools.partial(_phase_a_kernel, v_sa_slot=v_sa_slot),
+        functools.partial(_phase_a_kernel, v_sa_slot=v_sa_slot,
+                          has_pe=has_pe, has_ln=has_ln, ln_eps=ln_eps),
         grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, tile, c), lambda bb, t: (bb, t, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=tok_specs + [
             pl.BlockSpec(w_qkvv.shape, lambda bb, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, p), lambda bb, t: (t, 0),
@@ -194,7 +269,7 @@ def dsa_fused(
             jax.ShapeDtypeStruct((b, c, p), jnp.float32),
         ],
         interpret=interpret,
-    )(xln, w_b, ef_b)
+    )(*tok_inputs, w_b, ef_b)
 
     # ---- Glue: tiny per-head softmax + block-structured operands ----
     qnorm = jax.lax.rsqrt(q2[:, 0, :] + _EPS)          # (B, C)
@@ -221,15 +296,21 @@ def dsa_fused(
 
     qn_row = qnorm[:, None, :]                          # (B, 1, C)
 
+    res_specs, res_inputs = [], []
+    if has_res:
+        res_specs.append(pl.BlockSpec((1, c), lambda bb, t: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        res_inputs.append(res_gamma.reshape(1, c).astype(jnp.float32))
+
     # ---- Phase B: per-tile outputs ----
     # collapse the batch dim into the kernel grid; per-batch operands
     out = pl.pallas_call(
         functools.partial(_phase_b_kernel, sa_type=sa_type, num_heads=h,
-                          v_ca_slot=v_ca_slot, v_sa_slot=v_sa_slot),
+                          v_ca_slot=v_ca_slot, v_sa_slot=v_sa_slot,
+                          has_pe=has_pe, has_ln=has_ln, has_res=has_res,
+                          ln_eps=ln_eps),
         grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, tile, c), lambda bb, t: (bb, t, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=tok_specs + res_specs + [
             pl.BlockSpec(w_qkvv.shape, lambda bb, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bb, t: (bb, 0, 0),
@@ -245,7 +326,7 @@ def dsa_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
         interpret=interpret,
-    )(xln, w_b,
+    )(*tok_inputs, *res_inputs, w_b,
       qn_row.astype(jnp.float32),
       abig.astype(dtype),
       kbig.astype(dtype),

@@ -61,7 +61,13 @@ class DSA(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, ln=None, pos_embed=None,
+                 res_gamma=None):
+        """x: (B, N, C) tokens. With `ln=(scale, bias, eps)` x is RAW and
+        this module applies (pos_embed +) LayerNorm itself — fused into the
+        Pallas kernel prologue on the TPU path; `res_gamma` additionally
+        folds the transformer residual (tokens + gamma * attn) into the
+        kernel epilogue. The einsum fallback applies the same ops inline."""
         from fcd_tpu.ops.layers import xavier_uniform
 
         B, N, C = x.shape
@@ -94,12 +100,34 @@ class DSA(nn.Module):
                     N, C, self.proj_size if ef is not None else 8, h)):
             wk = w_qkvv.reshape(C, num, C).transpose(1, 0, 2)
             ef_k = ef if ef is not None else jnp.zeros((N, 8), jnp.float32)
+            kw = {}
+            if ln is not None:
+                kw = dict(ln_scale=ln[0], ln_bias=ln[1], ln_eps=ln[2],
+                          pos_embed=pos_embed, res_gamma=res_gamma)
             return dsa_fused(
                 x.astype(dtype), wk.astype(dtype), ef_k.astype(dtype),
                 temperature.reshape(h), temperature2.reshape(h),
                 num_heads=h, sa_type=self.sa_type,
-                interpret=jax.default_backend() != "tpu",
+                interpret=jax.default_backend() != "tpu", **kw,
             )
+
+        base = None
+        if ln is not None:
+            # inline (pos_embed +) LayerNorm (+ residual below): the einsum
+            # fallback honors the same contract as the fused kernel
+            base = x if pos_embed is None else x + pos_embed.astype(x.dtype)
+            lns, lnb, leps = ln
+            xf = base.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                - jnp.square(mu), 0.0)
+            x = (xf - mu) * jax.lax.rsqrt(var + leps) * lns + lnb
+
+        def finish(out):
+            if ln is None or res_gamma is None:
+                return out
+            return base + res_gamma.astype(base.dtype) * out.astype(base.dtype)
 
         qkvv = jnp.einsum("bnc,ck->bnk", x.astype(dtype), w_qkvv.astype(dtype))
         if b_qkvv is not None:
@@ -139,9 +167,9 @@ class DSA(nn.Module):
             return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
 
         if self.sa_type == "channel":
-            return channel_attention(slot(2))
+            return finish(channel_attention(slot(2)))
         if self.sa_type == "spatial":
-            return spatial_attention(slot(2))
+            return finish(spatial_attention(slot(2)))
         if self.sa_type == "serial":
             # spatial first, its output re-read as values of channel attention
             v_sa = slot(2)
@@ -155,12 +183,12 @@ class DSA(nn.Module):
             attn_ca = jax.nn.softmax(attn_ca, axis=-1)
             attn_ca = drop_ca(attn_ca)
             out = jnp.einsum("bhcd,bhnd->bhcn", attn_ca, x_sa)
-            return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, C)
+            return finish(jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, C))
 
         # parallel
         x_ca = channel_attention(slot(2))
         x_sa = spatial_attention(slot(3))
-        return x_ca + x_sa
+        return finish(x_ca + x_sa)
 
 
 class ChannelDropout3d(nn.Module):
@@ -240,12 +268,14 @@ class TransformerBlock(nn.Module):
         B, D, H, W, C = x.shape
         N = D * H * W
         tokens = x.reshape(B, N, C)
+        pe = None
         if self.pos_embed:
-            pe = self.param("pos_embed", nn.initializers.zeros, (1, self.input_size, C))
-            tokens = tokens + pe.astype(tokens.dtype)
+            pe = self.param("pos_embed", nn.initializers.zeros,
+                            (1, self.input_size, C))
 
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (C,))
-        attn = DSA(
+        ln_scale, ln_bias = LayerNorm()(return_affine_for=C)
+        tokens = DSA(
             input_size=self.input_size,
             hidden_size=self.hidden_size,
             proj_size=self.proj_size,
@@ -254,10 +284,11 @@ class TransformerBlock(nn.Module):
             spatial_attn_drop=self.dropout_rate,
             sa_type=self.sa_type,
             dtype=self.dtype,
-        )(LayerNorm()(tokens), train=train)
-        tokens = tokens + gamma.astype(tokens.dtype) * attn
+        )(tokens, train=train, ln=(ln_scale, ln_bias, 1e-5),
+          pos_embed=None if pe is None else pe[0],
+          res_gamma=gamma)
 
-        y = tokens.reshape(B, D, H, W, C)
+        y = tokens.astype(x.dtype).reshape(B, D, H, W, C)
         return _conv_residual_branch(y, C, self.conv_norm_name, self.dtype,
                                      train=train)
 
@@ -281,11 +312,13 @@ class EPABlock(nn.Module):
         B, D, H, W, C = x.shape
         N = D * H * W
         tokens = x.reshape(B, N, C)
+        pe = None
         if self.pos_embed:
-            pe = self.param("pos_embed", nn.initializers.zeros, (1, self.input_size, C))
-            tokens = tokens + pe.astype(tokens.dtype)
+            pe = self.param("pos_embed", nn.initializers.zeros,
+                            (1, self.input_size, C))
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (C,))
-        attn = DSA(
+        ln_scale, ln_bias = LayerNorm()(return_affine_for=C)
+        tokens = DSA(
             input_size=self.input_size,
             hidden_size=self.hidden_size,
             proj_size=self.proj_size,
@@ -294,10 +327,11 @@ class EPABlock(nn.Module):
             spatial_attn_drop=self.dropout_rate,
             sa_type="parallel",
             dtype=self.dtype,
-        )(LayerNorm()(tokens), train=train)
-        tokens = tokens + gamma.astype(tokens.dtype) * attn
+        )(tokens, train=train, ln=(ln_scale, ln_bias, 1e-5),
+          pos_embed=None if pe is None else pe[0],
+          res_gamma=gamma)
 
-        attn_skip = tokens.reshape(B, D, H, W, C)
+        attn_skip = tokens.astype(x.dtype).reshape(B, D, H, W, C)
         return _conv_residual_branch(attn_skip, C, "batch", self.dtype,
                                      train=train)
 

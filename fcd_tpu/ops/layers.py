@@ -156,11 +156,28 @@ class BatchNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
+    """Last-axis layer norm (nn.LayerNorm semantics, f32 params/compute).
+
+    `return_affine_for=c` creates the params and returns (scale, bias)
+    without computing — for callers that fuse the normalization into a
+    kernel prologue (e.g. the fused DSA attention kernel)."""
+
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        return nn.LayerNorm(epsilon=self.epsilon, dtype=None, param_dtype=jnp.float32)(x)
+    def __call__(self, x=None, *, return_affine_for: Optional[int] = None):
+        c = (int(return_affine_for) if return_affine_for is not None
+             else x.shape[-1])
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if return_affine_for is not None:
+            return scale, bias
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu),
+            0.0)
+        return (xf - mu) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
 
 
 def make_norm(norm_name: str, channels: int, *, num_groups: int = 8,
