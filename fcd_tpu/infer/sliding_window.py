@@ -283,33 +283,38 @@ def _sliding_window_jit_static(
     logits = jax.lax.map(lambda p: predictor(p), batched)
     logits = logits.reshape((n,) + logits.shape[2:]).astype(jnp.float32)
 
+    # blending: with STATIC offsets every contribution is a zero-pad of the
+    # weighted patch logits and the pad-tree sum fuses into one output pass
+    # — no read-modify-write scatter chain (the dynamic path's
+    # dynamic-update-slices cost ~6 ms/volume on the bench grid)
     if s2d_logits:
-        from fcd_tpu.kernels.block_conv import depth_to_space, space_to_depth
+        from fcd_tpu.kernels.block_conv import space_to_depth
 
         imp_s2d = space_to_depth(imp[None, ..., None])[0]
         imp_lanes = jnp.repeat(imp_s2d, out_channels, axis=-1)
-        rd2, rh2, rw2 = rd // 2, rh // 2, rw // 2
-        acc = jnp.zeros((d // 2, h // 2, w // 2, 8 * out_channels),
-                        jnp.float32)
+        full = (d // 2, h // 2, w // 2)
+        ext = (rd // 2, rh // 2, rw // 2)
+        acc = None
         for i, s in enumerate(starts_t):
             if not valid_t[i]:
                 continue
-            pos = (s[0] // 2, s[1] // 2, s[2] // 2, 0)
-            cur = jax.lax.dynamic_slice(
-                acc, pos, (rd2, rh2, rw2, 8 * out_channels))
-            acc = jax.lax.dynamic_update_slice(
-                acc, cur + logits[i] * imp_lanes, pos)
+            pos = (s[0] // 2, s[1] // 2, s[2] // 2)
+            cfg = [(p, f - p - e) for p, f, e in zip(pos, full, ext)]
+            term = jnp.pad(logits[i] * imp_lanes, cfg + [(0, 0)])
+            acc = term if acc is None else acc + term
         out = acc * jnp.repeat(inv_cnt, out_channels, axis=-1)
         return _exit_d2s(out[None], out_channels)[0]
 
     imp4 = imp[..., None]
-    acc = jnp.zeros((d, h, w, out_channels), jnp.float32)
+    acc = None
     for i, s in enumerate(starts_t):
         if not valid_t[i]:
             continue
-        pos = (int(s[0]), int(s[1]), int(s[2]), 0)
-        cur = jax.lax.dynamic_slice(acc, pos, (rd, rh, rw, out_channels))
-        acc = jax.lax.dynamic_update_slice(acc, cur + logits[i] * imp4, pos)
+        pos = (int(s[0]), int(s[1]), int(s[2]))
+        cfg = [(p, f - p - e)
+               for p, f, e in zip(pos, (d, h, w), (rd, rh, rw))]
+        term = jnp.pad(logits[i] * imp4, cfg + [(0, 0)])
+        acc = term if acc is None else acc + term
     return acc * inv_cnt
 
 
@@ -422,11 +427,13 @@ def sliding_window_inference(
 
     import os
 
-    if os.environ.get("FCD_SW_STATIC", "0") != "0":
-        # A/B alternative (measured SLOWER on v5e: 7.48 vs 8.00 vol/s —
-        # pre-gathering the patch stack and materializing the full logits
-        # stack costs more HBM traffic than the fused gather-predict-
-        # scatter pipeline's dynamic slices)
+    if os.environ.get("FCD_SW_STATIC", "1") != "0":
+        # Default since the pad-tree blend rewrite: static offsets let the
+        # 8 blend contributions fuse into one output pass instead of a
+        # dynamic-update-slice scatter chain. A/B on v5e (full bench):
+        # static 8.61 vs dynamic 8.37 vol/s. (The earlier static variant
+        # with a dus blend chain measured 7.48 — the blend formulation,
+        # not the pre-gather, was the difference.)
         starts_np = np.asarray(starts_dev)
         valid_np = np.asarray(valid_dev)
         out = _sliding_window_jit_static(
