@@ -87,9 +87,13 @@ def cross_entropy_loss(
         idx = jnp.argmax(target, axis=-1)
     else:
         idx = jnp.squeeze(target, axis=-1).astype(jnp.int32)
-    picked = jnp.take_along_axis(logp, idx[..., None], axis=-1)[..., 0]
+    # select via one-hot arithmetic, NOT take_along_axis / table indexing:
+    # XLA lowers per-voxel gathers on TPU to a serialized ~0.4 GB/s fusion
+    # (profiled at 137 + 67 ms/step at batch 4x128^3 — 39% of the step)
+    oh = jax.nn.one_hot(idx, n_ch, dtype=jnp.float32)
+    picked = jnp.sum(logp * oh, axis=-1)
     if weight is not None:
-        w = jnp.asarray(weight, jnp.float32)[idx]
+        w = jnp.sum(jnp.asarray(weight, jnp.float32) * oh, axis=-1)
         return -jnp.sum(w * picked) / jnp.maximum(jnp.sum(w), 1e-12)
     return -jnp.mean(picked)
 
