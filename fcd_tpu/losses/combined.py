@@ -116,13 +116,43 @@ def get_main_loss(params: Dict[str, Any]) -> Optional[LossFn]:
     return None
 
 
-def make_combined_loss(params: Dict[str, Any]) -> LossFn:
+def s2d_loss_supported(params: Dict[str, Any]) -> bool:
+    """Whether the loss can run on space-to-depth tensors: the Dice/CE/
+    focal families are permutation-invariant over voxels, but the TV /
+    boundary / cortical extras differentiate along spatial axes and need
+    the dense layout."""
+    return (
+        params.get("tv_loss_weight", 0.0) == 0
+        and params.get("boundaryloss_weight", 0.0) == 0
+        and params.get("caloss_weight", 0.0) == 0
+        and get_main_loss(params) is not None
+    )
+
+
+def make_combined_loss(params: Dict[str, Any], s2d: bool = False) -> LossFn:
     """CombinedLoss closure (get_loss.py:10-39).
 
     Returns loss_fn(pred_logits, target, thickness_map=None) -> scalar
     with pred (B, D, H, W, C) and target (B, D, H, W, 1).
-    """
+
+    With s2d=True the closure instead consumes SPACE-TO-DEPTH tensors:
+    pred (B, D/2, H/2, W/2, 8*C) s2d logits and target (B, D/2, H/2,
+    W/2, 8) s2d labels. The Dice-family losses are voxel-permutation-
+    invariant, so a lane reshape is the whole adapter — and the loss
+    math then runs lane-dense instead of on the C=2-lane full-resolution
+    layout (profiled ~25 ms/step at batch 4x128^3). Requires
+    s2d_loss_supported(params)."""
     main = get_main_loss(params)
+    if s2d:
+        if not s2d_loss_supported(params):
+            raise ValueError("s2d loss requires s2d_loss_supported(params)")
+
+        def s2d_loss_fn(pred, target, thickness_map=None):
+            b, d2, h2, w2, c8 = pred.shape
+            return main(pred.reshape(b, d2, h2, w2, 8, c8 // 8),
+                        target[..., None])
+
+        return s2d_loss_fn
     tv_w = params.get("tv_loss_weight", 0.0)
     b_w = params.get("boundaryloss_weight", 0.0)
     ca_w = params.get("caloss_weight", 0.0)

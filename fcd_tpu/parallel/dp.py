@@ -28,6 +28,7 @@ def make_dp_train_step(
     model_returns_vaeloss: bool = False,
     loss_vae_weight: float = 0.2,
     donate: bool = True,
+    s2d_loss: bool = False,
 ) -> Callable:
     """Jitted mesh-sharded train step: (state, image, label, lr, rng) ->
     (state, loss). Batch dims of image/label shard over 'data'; the state
@@ -39,6 +40,7 @@ def make_dp_train_step(
         model_returns_vaeloss=model_returns_vaeloss,
         loss_vae_weight=loss_vae_weight,
         wrap_jit=False,
+        s2d_loss=s2d_loss,
     )
     rep = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))

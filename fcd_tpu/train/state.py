@@ -68,11 +68,19 @@ def make_train_step(
     loss_vae_weight: float = 0.2,
     donate: bool = True,
     wrap_jit: bool = True,
+    s2d_loss: bool = False,
 ) -> Callable:
     """Build the train step (jitted unless wrap_jit=False, e.g. when the
     caller jits with explicit mesh shardings):
 
     (state, image, label, lr, rng[, thickness]) -> (state, loss)
+
+    With s2d_loss the model emits s2d logits (emit_s2d_logits=True) and
+    the labels are space-to-depth'd once in-step, so the loss runs on
+    lane-dense tensors and the full-resolution head exit (plus its
+    backward adjoint) never happens; loss_fn must then be the s2d
+    variant (make_combined_loss(params, s2d=True)). Same math (voxel
+    sums reassociated).
     """
 
     def step_fn(state: TrainState, image, label, lr, rng, thickness=None):
@@ -83,11 +91,17 @@ def make_train_step(
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
+                **({"emit_s2d_logits": True} if s2d_loss else {}),
             )
             vae_loss = 0.0
             if model_returns_vaeloss:
                 outputs, vae_loss = outputs
-            loss = loss_fn(outputs, label, thickness) + loss_vae_weight * (
+            tgt = label
+            if s2d_loss:
+                from fcd_tpu.kernels.block_conv import space_to_depth_fast
+
+                tgt = space_to_depth_fast(label)
+            loss = loss_fn(outputs, tgt, thickness) + loss_vae_weight * (
                 vae_loss if model_returns_vaeloss else 0.0
             )
             return loss, mutated["batch_stats"]

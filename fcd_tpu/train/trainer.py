@@ -78,6 +78,20 @@ class ModelTrainer:
         self.state = create_train_state(self.model, variables, self.params)
         self.tx = make_optimizer(self.params)
         self.loss_fn = make_combined_loss(self.params)
+        # training-loss fast path: run the Dice/CE math on the model's s2d
+        # logits with s2d labels (lane-dense; the C=2 full-resolution head
+        # exit + loss layout cost ~25 ms/step at batch 4x128^3). Validation
+        # keeps the dense self.loss_fn (it scores sliding-window volumes).
+        from fcd_tpu.losses.combined import s2d_loss_supported
+
+        self._use_s2d_loss = (
+            jax.default_backend() == "tpu"
+            and not self.params["model_returns_vaeloss"]
+            and getattr(self.model, "supports_s2d_input", False)
+            and s2d_loss_supported(self.params)
+        )
+        train_loss = (make_combined_loss(self.params, s2d=True)
+                      if self._use_s2d_loss else self.loss_fn)
 
         # Device mesh (params['mesh_data'] / --devices, -1 = all): when more
         # than one device is in play, training runs the NamedSharding-jitted
@@ -88,23 +102,24 @@ class ModelTrainer:
             model_returns_vaeloss=self.params["model_returns_vaeloss"],
             loss_vae_weight=self.params.get("loss_vae_weight", 0.2),
             donate=self.params.get("donate_buffers", True),
+            s2d_loss=self._use_s2d_loss,
         )
         if self.mesh is not None:
             from fcd_tpu.parallel.dp import make_dp_train_step, replicate_state
 
             self.train_step = make_dp_train_step(
-                self.model, self.loss_fn, self.tx, self.mesh, **step_kwargs
+                self.model, train_loss, self.tx, self.mesh, **step_kwargs
             )
             # exact-numerics fallback for a ragged final batch that does not
             # divide over the mesh (replicated state works in a plain step)
             self._ragged_step = make_train_step(
-                self.model, self.loss_fn, self.tx,
+                self.model, train_loss, self.tx,
                 **{**step_kwargs, "donate": False},
             )
             self.state = replicate_state(self.state, self.mesh)
         else:
             self.train_step = make_train_step(
-                self.model, self.loss_fn, self.tx, **step_kwargs
+                self.model, train_loss, self.tx, **step_kwargs
             )
         self.predict = make_eval_fn(
             self.model, model_returns_vaeloss=self.params["model_returns_vaeloss"]

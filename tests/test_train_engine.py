@@ -68,6 +68,33 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_s2d_loss_path_matches_dense():
+    # the lane-dense training-loss fast path (s2d logits + s2d labels) is
+    # the same math with voxel sums reassociated; the step loss must match
+    params = get_default_params()
+    params.update(
+        model_type="MS_DSA_NET", patch_size=32, feature_size=4,
+        project_size=8, chans_in=2, chans_out=2, use_amp=False,
+        loss="DiceCELoss", gradient_accumulation_steps=1,
+    )
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    tx = make_optimizer(params)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 32, 32, 32, 2).astype(np.float32))
+    y = jnp.zeros((1, 32, 32, 32, 1)).at[0, 8:20, 8:20, 8:20, 0].set(1.0)
+
+    losses = {}
+    for s2d in (False, True):
+        state = create_train_state(model, variables, params)
+        loss_fn = make_combined_loss(params, s2d=s2d)
+        step = make_train_step(model, loss_fn, tx, donate=False,
+                               s2d_loss=s2d)
+        _, loss = step(state, x, y, 1e-3, jax.random.PRNGKey(0))
+        losses[s2d] = float(loss)
+    assert losses[True] == pytest.approx(losses[False], rel=1e-4)
+
+
 def test_gradient_accumulation_steps_every_k():
     params, model, state, step, x, y = _tiny_setup(accum=2)
     p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
