@@ -937,6 +937,136 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
     )
 
 
+def _make_dw8_kernel(h_t: int, w_t: int):
+    """Weight-gradient kernel for the half-offset 8-tap pair: for each of
+    the 8 slab shifts s, dW_blk[s] += (shifted source slab)^T (cotangent
+    slab) — the exact adjoint of _make_fused8_kernel's tap loop,
+    accumulated across the (batch, depth-row) grid. Serves BOTH
+    directions: a2o (source = padded aligned rows, cotangent = offset
+    rows) and o2a (source = offset rows, cotangent = aligned rows) —
+    only the slab dims differ."""
+
+    def kernel(x_lo_ref, x_hi_ref, g_ref, dw_ref):
+        z = pl.program_id(1)
+        b = pl.program_id(0)
+
+        @pl.when((z == 0) & (b == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        rows = (x_lo_ref[0, 0], x_hi_ref[0, 0])
+        g2 = g_ref[0, 0].reshape(h_t * w_t, g_ref.shape[-1])
+        si = 0
+        for sz in range(2):
+            base = rows[sz]
+            for sy in range(2):
+                su = base[sy:sy + h_t]
+                for sx in range(2):
+                    sl = su[:, sx:sx + w_t, :].reshape(h_t * w_t,
+                                                       su.shape[-1])
+                    dw_ref[si] += jax.lax.dot_general(
+                        sl, g2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    si += 1
+
+    return kernel
+
+
+def blocked_conv_a2o_dw(xs: jnp.ndarray, g: jnp.ndarray,
+                        interpret: bool) -> jnp.ndarray:
+    """dW (8, 8cin, 8cout) f32 for the a2o direction: xs aligned
+    (B, D2, H2, W2, 8cin), g the OFFSET-grid cotangent
+    (B, D2+1, H2+1, pad8(W2+1), 8cout) with pad-slot lanes already
+    zeroed (they are forward constants)."""
+    bsz, d2, h2, w2, c8 = xs.shape
+    cout8 = g.shape[-1]
+    h_t, w_t = g.shape[2], g.shape[3]
+    w_in = _pad8(w_t + 1)
+    xp = _halo_pad(xs, w_in)
+
+    return pl.pallas_call(
+        _make_dw8_kernel(h_t, w_t),
+        grid=(bsz, d2 + 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2 + 2, w_in, c8),
+                         lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2 + 2, w_in, c8),
+                         lambda b, z: (b, z + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h_t, w_t, cout8),
+                         lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, c8, cout8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, xp, g)
+
+
+def blocked_conv_o2a_dw(ys: jnp.ndarray, g: jnp.ndarray, aligned_w: int,
+                        interpret: bool) -> jnp.ndarray:
+    """dW (8, 8cin, 8cout) f32 for the o2a direction: ys the OFFSET-grid
+    input (B, D2+1, H2+1, pad8(W2+1), 8cin) with exact-zero pad slots,
+    g the aligned cotangent (B, D2, H2, aligned_w, 8cout)."""
+    bsz, d2p, h2p, w2p, c8 = ys.shape
+    d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
+    cout8 = g.shape[-1]
+
+    return pl.pallas_call(
+        _make_dw8_kernel(h2, w2),
+        grid=(bsz, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2p, w2p, c8),
+                         lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2p, w2p, c8),
+                         lambda b, z: (b, z + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, cout8),
+                         lambda b, z: (b, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, c8, cout8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ys, ys, g)
+
+
+def unblock_dw8(dwblk: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:
+    """(8, 8cin, 8cout) half-offset blocked weight-grad ->
+    (3,3,3,cin,cout): the adjoint of make_blocked_weights_8tap's
+    tap-table expansion."""
+    global _TAP_TABLE8H
+    if _TAP_TABLE8H is None:
+        make_blocked_weights_8tap(jnp.zeros((3, 3, 3, 1, 1)))
+    table = jnp.asarray(_TAP_TABLE8H, dwblk.dtype)    # (8, 8, 8, 27)
+    v = dwblk.reshape(8, 8, cin, 8, cout)
+    dw = jnp.einsum("spiqo,spqk->kio", v, table)
+    return dw.reshape(3, 3, 3, cin, cout)
+
+
+def offset_keep_mask(d_out: int, h_out: int, w_out: int, c8: int,
+                     h_last: int, w_last: int):
+    """Boolean pad-slot mask of a full OFFSET-grid tensor
+    (d_out, h_out, w_out, 8c) — _parity_lane_masks extended with the
+    depth-axis terms (built from iotas; fuses into consumers)."""
+    keep = _parity_lane_masks(h_out, w_out, c8, h_last, w_last)[None]
+    c = c8 // 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, c8), 3)
+    pz = (lane // (4 * c)) % 2
+    zpos = jax.lax.broadcasted_iota(jnp.int32, (d_out, 1, 1, 1), 0)
+    return keep & ((zpos > 0) | (pz == 1)) & (
+        (zpos < d_out - 1) | (pz == 0))
+
+
 def _make_finale_head_kernel(neg_slope: float, has_bias: bool):
     """Residual-block finale + segmentation head in one pass: reads the
     conv2 output y2 and the projection shortcut r (both aligned s2d),

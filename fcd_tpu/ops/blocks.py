@@ -151,13 +151,65 @@ class UnetResBlock(nn.Module):
             def norm_s2d(t):
                 return instance_norm_s2d(t, oc)
 
-        ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
-                    dtype=self.dtype)(s2d_parts=parts)
-        ys = norm_s2d(ys)
-        ys = leaky_relu_s2d(ys, slope)
-        ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
-                    dtype=self.dtype)(s2d_parts=[(ys, oc)])
-        ys = norm_s2d(ys)
+        # differentiable HALF-OFFSET pair (training fast path): conv1 runs
+        # aligned->offset, conv2 offset->aligned — 64/27 = 2.37x FLOP
+        # redundancy per conv instead of the padded-27 form's 8x, with
+        # custom VJPs (adjoint convs on the same lattice pair + 8-tap
+        # blocked weight-grad kernels). Instance norm only: the offset
+        # tensor's pad slots stay exact zeros through norm1+act via
+        # re-masking (batch norm's running stats would see the pads).
+        from fcd_tpu.ops.s2d_ops import s2d_supported
+
+        d2s, h2s, w2s = parts[0][0].shape[1:4]
+        dense_dims = (2 * d2s, 2 * h2s, 2 * w2s)
+        use_pair = (
+            not self.use_bias
+            and self.norm_name == "instance"
+            and os.environ.get("FCD_CONV8_TRAIN", "1") != "0"
+            and all(s2d_supported(dense_dims, c, oc, taps=8)
+                    for _, c in parts)
+            and s2d_supported(dense_dims, oc, oc, taps=8)
+        )
+        if use_pair:
+            from fcd_tpu.ops.s2d_ops import (
+                conv8_a2o,
+                conv8_o2a,
+                instance_norm_act_offset,
+            )
+
+            w1k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
+                            dtype=self.dtype)(return_kernel_for=cin_total)
+            xs_list, w_list = [], []
+            off = 0
+            for xs, c in parts:
+                w1p = w1k[..., off:off + c, :]
+                if c < 16:
+                    # Mosaic rejects sub-128-lane operands; zero-pad the
+                    # parity groups and the matching weight rows
+                    b_, d_, h_, w_ = xs.shape[:4]
+                    xs = jnp.pad(
+                        xs.reshape(b_, d_, h_, w_, 8, c),
+                        ((0, 0),) * 4 + ((0, 0), (0, 16 - c)),
+                    ).reshape(b_, d_, h_, w_, 8 * 16)
+                    w1p = jnp.pad(w1p, ((0, 0),) * 3 + ((0, 16 - c), (0, 0)))
+                xs_list.append(xs.astype(jnp.bfloat16))
+                w_list.append(w1p)
+                off += c
+            y1o = conv8_a2o(tuple(xs_list), tuple(w_list))
+            y1o = instance_norm_act_offset(
+                y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s)
+            w2k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
+                            dtype=self.dtype)(return_kernel_for=oc)
+            ys = conv8_o2a(y1o, w2k, w2s)
+            ys = norm_s2d(ys)
+        else:
+            ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
+                        dtype=self.dtype)(s2d_parts=parts)
+            ys = norm_s2d(ys)
+            ys = leaky_relu_s2d(ys, slope)
+            ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
+                        dtype=self.dtype)(s2d_parts=[(ys, oc)])
+            ys = norm_s2d(ys)
 
         if cin_total != oc or len(parts) > 1:
             rs = Conv3d(oc, 1, 1, use_bias=self.use_bias,

@@ -245,6 +245,143 @@ def upsample2x_into_s2d(x: jnp.ndarray, w: jnp.ndarray,
     return out
 
 
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv8_a2o(xs_tuple, w_tuple, out_dtype=jnp.bfloat16):
+    """Differentiable half-offset conv, aligned -> offset: convolves each
+    aligned-s2d part with its (3,3,3,ci,co) kernel and sums (the
+    never-materialized-concat form), emitting the OFFSET-grid tensor at
+    64/27 = 2.37x FLOP redundancy (the padded-27 training form pays 8x).
+    VJP: dx per part is the o2a pass with flipped/transposed weights (the
+    conv adjoint on the half-offset lattice pair); dw via the 8-tap
+    blocked weight-grad kernel."""
+    return _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype)
+
+
+def _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o_multi,
+        make_blocked_weights_8tap,
+    )
+
+    wblks = [make_blocked_weights_8tap(w.astype(jnp.float32)).astype(jnp.bfloat16)
+             for w in w_tuple]
+    outs = blocked_conv_a2o_multi(
+        [x.astype(jnp.bfloat16) for x in xs_tuple], wblks,
+        want_stats=False, out_dtype=out_dtype, interpret=_interp())
+    return outs[0]
+
+
+def _conv8_a2o_fwd(xs_tuple, w_tuple, out_dtype):
+    return _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype), (xs_tuple, w_tuple)
+
+
+def _conv8_a2o_bwd(out_dtype, res, g):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o_dw,
+        blocked_conv_o2a,
+        make_blocked_weights_8tap,
+        offset_keep_mask,
+        unblock_dw8,
+    )
+
+    xs_tuple, w_tuple = res
+    d_out, h_out, w_out = g.shape[1], g.shape[2], g.shape[3]
+    h2, w2 = xs_tuple[0].shape[2], xs_tuple[0].shape[3]
+    keep = offset_keep_mask(d_out, h_out, w_out, g.shape[-1], h2, w2)
+    gm = jnp.where(keep, g.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+    dxs, dws = [], []
+    for x, w in zip(xs_tuple, w_tuple):
+        wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        wab = make_blocked_weights_8tap(
+            wadj.astype(jnp.float32)).astype(jnp.bfloat16)
+        dx = blocked_conv_o2a(gm, wab, w2, want_stats=False,
+                              out_dtype=jnp.float32,
+                              interpret=_interp())[0]
+        dxs.append(dx.astype(x.dtype))
+        dwblk = blocked_conv_a2o_dw(x.astype(jnp.bfloat16), gm, _interp())
+        dws.append(unblock_dw8(dwblk, w.shape[3], w.shape[4]).astype(w.dtype))
+    return tuple(dxs), tuple(dws)
+
+
+conv8_a2o.defvjp(_conv8_a2o_fwd, _conv8_a2o_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv8_o2a(ys, w, aligned_w: int, out_dtype=jnp.bfloat16):
+    """Differentiable half-offset conv, offset -> aligned (the second conv
+    of the pair). ys must carry exact-zero pad slots (the offset norm/act
+    re-masks them). VJP mirrors conv8_a2o."""
+    return _conv8_o2a_impl(ys, w, aligned_w, out_dtype)
+
+
+def _conv8_o2a_impl(ys, w, aligned_w, out_dtype):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_o2a,
+        make_blocked_weights_8tap,
+    )
+
+    wblk = make_blocked_weights_8tap(
+        w.astype(jnp.float32)).astype(jnp.bfloat16)
+    return blocked_conv_o2a(ys.astype(jnp.bfloat16), wblk, aligned_w,
+                            want_stats=False, out_dtype=out_dtype,
+                            interpret=_interp())[0]
+
+
+def _conv8_o2a_fwd(ys, w, aligned_w, out_dtype):
+    return _conv8_o2a_impl(ys, w, aligned_w, out_dtype), (ys, w)
+
+
+def _conv8_o2a_bwd(aligned_w, out_dtype, res, g):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o,
+        blocked_conv_o2a_dw,
+        make_blocked_weights_8tap,
+        unblock_dw8,
+    )
+
+    ys, w = res
+    wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    wab = make_blocked_weights_8tap(
+        wadj.astype(jnp.float32)).astype(jnp.bfloat16)
+    gb = g.astype(jnp.bfloat16)
+    dy = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=jnp.float32,
+                          interpret=_interp())[0]
+    dwblk = blocked_conv_o2a_dw(ys.astype(jnp.bfloat16), gb, aligned_w,
+                                _interp())
+    dw = unblock_dw8(dwblk, w.shape[3], w.shape[4])
+    return dy.astype(ys.dtype), dw.astype(w.dtype)
+
+
+conv8_o2a.defvjp(_conv8_o2a_fwd, _conv8_o2a_bwd)
+
+
+def instance_norm_act_offset(ys: jnp.ndarray, c: int, n_true: int,
+                             neg_slope: float, h_last: int, w_last: int,
+                             eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm + leaky-relu on an OFFSET-grid tensor, re-zeroing the
+    pad slots the affine shift would otherwise corrupt (pad slots are
+    exact zeros, so the sums need no masking; n_true = real voxel count =
+    d2*h2*w2*8 of the aligned grid). Differentiable (XLA ops only; the
+    where() VJP zeroes pad-slot cotangents, which the conv8 VJPs rely
+    on)."""
+    from fcd_tpu.kernels.block_conv import offset_keep_mask
+
+    b = ys.shape[0]
+    yf = ys.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(1, 2, 3))
+    s2 = jnp.sum(jnp.square(yf), axis=(1, 2, 3))
+    scale, shift = _inorm_affine_from_sums(s1, s2, c, n_true, eps)
+    t = yf * scale[:, None, None, None, :] + shift[:, None, None, None, :]
+    t = jnp.where(t >= 0, t, neg_slope * t)
+    keep = offset_keep_mask(ys.shape[1], ys.shape[2], ys.shape[3],
+                            ys.shape[4], h_last, w_last)
+    return jnp.where(keep[None], t, 0.0).astype(ys.dtype)
+
+
 def upsample2x_s2d_to_s2d(ys: jnp.ndarray, cin: int, w: jnp.ndarray,
                           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Transposed conv k2 s2 from the COARSE grid's s2d tensor straight to

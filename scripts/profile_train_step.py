@@ -42,8 +42,15 @@ def main():
     variables = init_model(model, params, seed=0)
     state = create_train_state(model, variables, params)
     tx = make_optimizer(params)
-    loss_fn = make_combined_loss(params)
-    step = make_train_step(model, loss_fn, tx, donate=True)
+    from fcd_tpu.losses.combined import s2d_loss_supported
+
+    use_s2d = (jax.default_backend() == "tpu"
+               and getattr(model, "supports_s2d_input", False)
+               and s2d_loss_supported(params))
+    loss_fn = make_combined_loss(params, s2d=use_s2d)
+    step = make_train_step(model, loss_fn, tx, donate=True,
+                           s2d_loss=use_s2d)
+    print(f"s2d loss path: {use_s2d}", flush=True)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(4, 128, 128, 128, 2), jnp.float32)

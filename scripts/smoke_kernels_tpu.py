@@ -129,6 +129,44 @@ def main():
 
         check(f"blocked_conv_s2d_dw {dims} c8={c8}", dw)
 
+    # --- differentiable half-offset pair: fwd + dx + dw (new dw8 kernels) ---
+    def conv8_pair_grads():
+        from fcd_tpu.ops.s2d_ops import (
+            conv8_a2o,
+            conv8_o2a,
+            instance_norm_act_offset,
+        )
+
+        xs = arr(1, 16, 16, 16, 128)
+        w1 = arr(3, 3, 3, 16, 16, dtype=jnp.float32)
+        w2 = arr(3, 3, 3, 16, 16, dtype=jnp.float32)
+
+        def f(xs, w1, w2):
+            y = conv8_a2o((xs,), (w1,))
+            y = instance_norm_act_offset(y, 16, 16 * 16 * 16 * 8, 0.01,
+                                         16, 16)
+            out = conv8_o2a(y, w2, 16)
+            return jnp.sum(out.astype(jnp.float32))
+
+        return jax.grad(f, argnums=(0, 1, 2))(xs, w1, w2)
+
+    check("conv8 pair fwd+dx+dw (train path)", conv8_pair_grads)
+
+    # --- fused DSA with the LN/pos-embed/residual prologue ---
+    def dsa_ln_res():
+        x = arr(1, 4096, 32)
+        wqkvv = arr(4, 32, 32)
+        ef = arr(4096, 64)
+        temp = jnp.ones((4,), jnp.float32)
+        return dsa_fused(
+            x, wqkvv, ef, temp, temp, num_heads=4, sa_type="parallel",
+            ln_scale=jnp.ones((32,), jnp.float32),
+            ln_bias=jnp.zeros((32,), jnp.float32),
+            pos_embed=arr(4096, 32, dtype=jnp.float32),
+            res_gamma=jnp.full((32,), 1e-6, jnp.float32))
+
+    check("dsa_fused ln/pe/residual prologue", dsa_ln_res)
+
     # --- fused finale + head ---
     def finale_head():
         y2, r = arr(1, 8, 8, 8, 128), arr(1, 8, 8, 8, 128)

@@ -96,6 +96,40 @@ def test_resblock_s2d_path_matches_standard():
     np.testing.assert_allclose(got, want, atol=0.05 * scale)
 
 
+def test_resblock_conv8_train_pair_matches_composed():
+    """The differentiable half-offset pair (FCD_CONV8_TRAIN) must match the
+    padded-27 composed path in value and gradients (both run bf16; per-
+    element max deviations are bf16 jitter, so compare relative L2)."""
+    import os
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
+    block = UnetResBlock(out_channels=16, dtype=None)
+    v = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def loss(variables, xin, pair):
+        os.environ["FCD_CONV8_TRAIN"] = "1" if pair else "0"
+        out = block.apply(variables, train=True,
+                          s2d_parts=[(to_s2d(xin), 16)])
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    try:
+        v0, (g0v, g0x) = jax.value_and_grad(loss, argnums=(0, 1))(v, x, False)
+        v1, (g1v, g1x) = jax.value_and_grad(loss, argnums=(0, 1))(v, x, True)
+    finally:
+        os.environ.pop("FCD_CONV8_TRAIN", None)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+    assert abs(float(v1) - float(v0)) < 0.02 * abs(float(v0)) + 1e-3
+    assert rel(g1x, g0x) < 0.03
+    for l0, l1 in zip(jax.tree_util.tree_leaves(g0v),
+                      jax.tree_util.tree_leaves(g1v)):
+        assert rel(l1, l0) < 0.03
+
+
 def test_resblock_s2d_cat_parts_match_standard_cat():
     rng = np.random.RandomState(7)
     a = jnp.asarray(rng.rand(1, 16, 16, 16, 16).astype(np.float32))
