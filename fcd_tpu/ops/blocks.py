@@ -59,6 +59,27 @@ def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
             and s2d_supported(dims, cout, cout, taps))
 
 
+def _pair_train_ok(norm_name: str) -> bool:
+    """Whether the differentiable half-offset conv pair can serve a
+    TRAIN-mode block on the taps-8 tier (instance norm only — the offset
+    grid's pad-slot masking would corrupt batch-norm running stats)."""
+    import os
+
+    return (norm_name == "instance"
+            and os.environ.get("FCD_CONV8_TRAIN", "1") != "0")
+
+
+def _taps8_executor_ok(train: bool, norm_name: str) -> bool:
+    """A taps-8-only block shape needs an executor that can actually run
+    it: the fused eval path, or the differentiable pair — the composed
+    padded-27 fallback would exceed scoped VMEM at these widths."""
+    import os
+
+    fused_eval = (not train
+                  and os.environ.get("FCD_FUSED_BLOCK", "1") != "0")
+    return fused_eval or _pair_train_ok(norm_name)
+
+
 class UnetResBlock(nn.Module):
     """conv-norm-act -> conv-norm (+ projected residual) -> act.
 
@@ -244,10 +265,13 @@ class UnetResBlock(nn.Module):
             x.shape[1:4], in_channels, self.out_channels, self.kernel_size,
             self.stride, self.norm_name, self.act_name, self.dtype,
         )
-        if not elig and not train and not self.use_bias:
-            # eval-only tier: the 8-tap half-offset fused block covers
-            # channel counts the differentiable 27-tap form cannot (the
-            # deeper encoder/decoder levels) — forward-only, so gate on eval
+        if not elig and not self.use_bias and (
+                _taps8_executor_ok(train, self.norm_name)):
+            # 8-tap half-offset tier: covers channel counts the 27-tap
+            # form cannot (the deeper encoder/decoder levels). Originally
+            # eval-only; with the differentiable conv pair it also serves
+            # training for instance-norm blocks (the pair path in
+            # _s2d_forward handles exactly these shapes)
             elig = _s2d_block_eligible(
                 x.shape[1:4], in_channels, self.out_channels,
                 self.kernel_size, self.stride, self.norm_name,
@@ -384,16 +408,29 @@ class UnetrUpBlock(nn.Module):
         else:
             spatial = tuple(s * 4 for s in x_s2d[0].shape[1:4])
         skip_c = skip_s2d[1] if skip_s2d is not None else skip.shape[-1]
+        elig_cat = skip_s2d is not None or _s2d_block_eligible(
+            spatial, 2 * self.out_channels, self.out_channels,
+            self.kernel_size, 1, self.norm_name, self.act_name, self.dtype,
+            part_channels=[self.out_channels, skip_c],
+        )
+        if (not elig_cat and not self.use_bias and train
+                and _pair_train_ok(self.norm_name)):
+            # taps-8 tier, TRAIN only: at eval the taps-8-only decoder
+            # level (dec5, 8^3 grid) measured SLOWER s2d than dense XLA
+            # (8.06 vs 8.37-8.61 vol/s full bench) — the skip to_s2d and
+            # small-grid kernel dispatch outweigh the fused block there
+            elig_cat = _s2d_block_eligible(
+                spatial, 2 * self.out_channels, self.out_channels,
+                self.kernel_size, 1, self.norm_name, self.act_name,
+                self.dtype, part_channels=[self.out_channels, skip_c],
+                taps=8,
+            )
         if (
             self.res_block
             and self.fuse == "cat"
             and self.upsample_kernel_size == 2
             and skip_c == self.out_channels
-            and (skip_s2d is not None or _s2d_block_eligible(
-                spatial, 2 * self.out_channels, self.out_channels,
-                self.kernel_size, 1, self.norm_name, self.act_name, self.dtype,
-                part_channels=[self.out_channels, skip_c],
-            ))
+            and elig_cat
         ):
             from fcd_tpu.ops.s2d_ops import to_s2d
 
