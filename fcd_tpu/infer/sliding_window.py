@@ -26,10 +26,12 @@ def _exit_d2s(out, out_channels: int):
     """Volume-exit depth_to_space, formulation selected by FCD_SW_EXIT:
     'mm' (default) = MXU lane-permutation matmul (depth_to_space_mm);
     'reshape' = reshape+transpose; 'conv' = lhs-dilated one-hot conv.
-    A/B on v5e (full bench): mm 7.98 vs reshape 7.75 vol/s — the matmul
-    replaces the reshape form's ~7 ms lane-crossing pass, but the
-    boundary-layout copy+reshape after it (~10 ms) remains either way
-    (the jit output layout for (D,H,W,2) f32 is transfer-oriented)."""
+    A/B on v5e (full bench): mm 8.66 vs reshape 7.49 vol/s in the
+    static-grid build (mm 7.98 vs 7.75 in the earlier dynamic build) —
+    the matmul replaces the lane-crossing pass, though a boundary-layout
+    copy+reshape (~10 ms) remains either way (the jit output layout for
+    (D,H,W,2) f32 is transfer-oriented; pinning it to standard measured
+    8.48, FCD_SW_OUT_LAYOUT=std)."""
     import os
 
     from fcd_tpu.kernels.block_conv import (
@@ -224,13 +226,27 @@ def _sliding_window_jit_stdlayout():
                    static_argnames=_SW_STATIC_ARGNAMES, out_shardings=fmt)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("predictor", "starts_t", "valid_t", "roi_size",
-                     "sw_batch", "out_channels", "blend", "sigma_scale",
-                     "compute_dtype", "patch_s2d", "s2d_logits"),
-)
-def _sliding_window_jit_static(
+_SW_STATIC_GRID_ARGNAMES = (
+    "predictor", "starts_t", "valid_t", "roi_size", "sw_batch",
+    "out_channels", "blend", "sigma_scale", "compute_dtype", "patch_s2d",
+    "s2d_logits")
+
+
+@functools.lru_cache(maxsize=1)
+def _sliding_window_jit_static_stdlayout():
+    """Static-grid variant with the output pinned to the standard layout
+    (FCD_SW_OUT_LAYOUT=std A/B; see _sliding_window_jit_stdlayout)."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    fmt = Format(Layout(major_to_minor=(0, 1, 2, 3)),
+                 SingleDeviceSharding(jax.devices()[0]))
+    return jax.jit(_sliding_window_static_impl,
+                   static_argnames=_SW_STATIC_GRID_ARGNAMES,
+                   out_shardings=fmt)
+
+
+def _sliding_window_static_impl(
     volume: jnp.ndarray,
     inv_cnt: jnp.ndarray,
     *,
@@ -316,6 +332,10 @@ def _sliding_window_jit_static(
         term = jnp.pad(logits[i] * imp4, cfg + [(0, 0)])
         acc = term if acc is None else acc + term
     return acc * inv_cnt
+
+
+_sliding_window_jit_static = jax.jit(
+    _sliding_window_static_impl, static_argnames=_SW_STATIC_GRID_ARGNAMES)
 
 
 @functools.lru_cache(maxsize=8)
@@ -436,7 +456,10 @@ def sliding_window_inference(
         # not the pre-gather, was the difference.)
         starts_np = np.asarray(starts_dev)
         valid_np = np.asarray(valid_dev)
-        out = _sliding_window_jit_static(
+        sw_fn = (_sliding_window_jit_static_stdlayout()
+                 if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
+                 else _sliding_window_jit_static)
+        out = sw_fn(
             padded,
             inv_cnt,
             predictor=predictor,
