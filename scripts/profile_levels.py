@@ -2,7 +2,11 @@
 harness (loop-invariant scan bodies get hoisted by XLA and measure nothing;
 see .claude/skills/verify/SKILL.md)."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
