@@ -843,21 +843,62 @@ def _pad8(v: int) -> int:
     return (v + 7) // 8 * 8
 
 
+def _halo_pad_kernel(h2: int, w2: int, w_in: int):
+    """One INTERIOR depth row: compose the zero-bordered row in VMEM and
+    write it (XLA's pad op regrids tiles at ~50 GB/s; this runs at copy
+    bandwidth). The two edge rows are zero-filled by the caller."""
+
+    def kernel(x_ref, out_ref):
+        row = x_ref[0, 0].astype(out_ref.dtype)          # (h2, w2, c8)
+        c8 = row.shape[-1]
+        zrow_w = jnp.zeros((h2, 1, c8), out_ref.dtype)
+        zpad_w = jnp.zeros((h2, w_in - 1 - w2, c8), out_ref.dtype)
+        wide = jnp.concatenate([zrow_w, row, zpad_w], axis=1)
+        zrow_h = jnp.zeros((1, w_in, c8), out_ref.dtype)
+        out_ref[0, 0] = jnp.concatenate([zrow_h, wide, zrow_h], axis=0)
+
+    return kernel
+
+
 def _halo_pad(xs: jnp.ndarray, w_in: int) -> jnp.ndarray:
     """One-block zero halo (+ W sublane alignment) for the a2o kernels.
 
-    FCD_A2O_PAD selects the formulation: 'pad' (default) = jnp.pad;
-    'dus' = dynamic_update_slice into zeros. A/B on v5e (full bench):
-    pad 8.37 vs dus 8.16 vol/s — the dus form pays a zeros-buffer
-    materialization and does NOT fuse with the producer; kept for
-    reference. The pad op itself runs at ~47 GB/s on the level-1 shape
-    (tile regridding), an open lever."""
+    FCD_A2O_PAD selects the formulation, all A/B'd end-to-end on v5e:
+    'pad' (default) = jnp.pad — the XLA pad op regrids tiles at
+    ~50 GB/s on the level-1 shape but still wins (8.66 vol/s);
+    'dus' = dynamic_update_slice into zeros (8.16 — the zeros buffer
+    materializes, nothing fuses); 'pallas' = row-wise kernel composing
+    the bordered row in VMEM (6.49 — the VMEM concats and the two
+    edge-row fixup updates cost far more than the regrid they save).
+    Producer-side emission of the padded layout remains the only
+    promising route for this ~5 ms/volume."""
     import os
 
     b, d2, h2, w2, c8 = xs.shape
-    if os.environ.get("FCD_A2O_PAD", "pad") == "dus":
+    form = os.environ.get("FCD_A2O_PAD", "pad")
+    if form == "dus":
         buf = jnp.zeros((b, d2 + 2, h2 + 2, w_in, c8), xs.dtype)
         return jax.lax.dynamic_update_slice(buf, xs, (0, 1, 1, 1, 0))
+    if form == "pallas" and jax.default_backend() == "tpu":
+        out = pl.pallas_call(
+            _halo_pad_kernel(h2, w2, w_in),
+            grid=(b, d2),
+            in_specs=[pl.BlockSpec((1, 1, h2, w2, c8),
+                                   lambda bb, z: (bb, z, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, h2 + 2, w_in, c8),
+                                   lambda bb, z: (bb, z + 1, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, d2 + 2, h2 + 2, w_in, c8),
+                                           xs.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=False,
+        )(xs)
+        # depth-edge rows were never written: zero them (in-place updates)
+        zrow = jnp.zeros((b, 1, h2 + 2, w_in, c8), xs.dtype)
+        out = jax.lax.dynamic_update_slice(out, zrow, (0, 0, 0, 0, 0))
+        return jax.lax.dynamic_update_slice(out, zrow, (0, d2 + 1, 0, 0, 0))
     return jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (1, w_in - 1 - w2), (0, 0)))
 
 
