@@ -109,6 +109,14 @@ def main() -> None:
             for _ in range(2)]
 
     def run(vol):
+        # flat_output: the fused Pallas exit emits the volume as
+        # (D, H, W*C) f32 std layout — byte-identical to the C-order
+        # (D, H, W, C) volume (np.asarray(out).reshape(D,H,W,C) is a free
+        # view), skipping ~12 ms/volume of XLA boundary-layout copies.
+        # The deliverable is unchanged: every logit is computed and in
+        # its final C-order position (the reference's own torch output
+        # is channels-first CUDA memory, i.e. also a host-side view away
+        # from NIfTI order).
         return sliding_window_inference(
             vol,
             predictor,
@@ -120,12 +128,13 @@ def main() -> None:
             compute_dtype=jnp.bfloat16,
             patch_s2d=use_s2d_patches,
             s2d_logits=use_s2d_patches,
+            flat_output=True,
         )
 
     def sync(out):
         # force completion: the axon relay backend's block_until_ready is
         # async; a tiny host fetch is the reliable sync point
-        np.asarray(out[0, 0, 0, 0])
+        np.asarray(out[(0,) * out.ndim])
 
     for _ in range(N_WARMUP):
         sync(run(vols[0]))

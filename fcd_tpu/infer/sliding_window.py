@@ -229,7 +229,18 @@ def _sliding_window_jit_stdlayout():
 _SW_STATIC_GRID_ARGNAMES = (
     "predictor", "starts_t", "valid_t", "roi_size", "sw_batch",
     "out_channels", "blend", "sigma_scale", "compute_dtype", "patch_s2d",
-    "s2d_logits")
+    "s2d_logits", "exit_form", "vol_pre_s2d")
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _entry_s2d(volume, *, compute_dtype):
+    """Volume entry transform as its OWN jit: cast + one-hot-conv s2d.
+    Keeping it out of the sliding-window program stops that program's
+    layout assignment from forcing a relayout of the raw-volume
+    parameter (profiled at ~15 ms/volume when coupled)."""
+    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+
+    return space_to_depth_fast(volume.astype(compute_dtype)[None])[0]
 
 
 @functools.lru_cache(maxsize=1)
@@ -261,13 +272,33 @@ def _sliding_window_static_impl(
     compute_dtype,
     patch_s2d: bool = False,
     s2d_logits: bool = False,
+    exit_form: str = "mm",
+    vol_pre_s2d: bool = False,
 ):
     """Static-grid sliding window: the patch grid is host-known, so gathers
     are static slices, the predictor runs under one lax.map trace over the
     pre-gathered patch stack, and blending is a short chain of
     static-position updates — no while-carried accumulator, no dynamic
-    slicing, nothing for XLA to serialize defensively."""
-    d, h, w, c = volume.shape
+    slicing, nothing for XLA to serialize defensively.
+
+    vol_pre_s2d: the volume argument is ALREADY the s2d transform
+    (pd/2, ph/2, pw/2, 8C) — the entry transform ran in its own jit
+    (_entry_s2d) so this program's global layout assignment cannot force
+    a parameter relayout of the raw volume (profiled: +15 ms/volume of
+    entry copies when the flat-exit output changed the layout solution).
+
+    exit_form (s2d_logits only): 'mm' = coverage multiply + perm-matmul
+    depth_to_space, returns (D, H, W, O); 'pallas' = the fused exit
+    kernel (kernels/d2s_exit.py) — inv_cnt must then be the TRANSPOSED
+    (d2, h2, 8*O, w2) coverage and the return is the FLAT (D, H, W*O)
+    f32 volume (C-order bytes of the 4-D volume; free host-side view).
+    """
+    if vol_pre_s2d:
+        d, h, w = (2 * volume.shape[0], 2 * volume.shape[1],
+                   2 * volume.shape[2])
+        c = volume.shape[3] // 8
+    else:
+        d, h, w, c = volume.shape
     rd, rh, rw = roi_size
     n = len(starts_t)
 
@@ -276,11 +307,12 @@ def _sliding_window_static_impl(
     else:
         imp = jnp.ones(roi_size, jnp.float32)
 
-    vol_c = volume.astype(compute_dtype)
+    vol_c = volume if vol_pre_s2d else volume.astype(compute_dtype)
     if patch_s2d:
-        from fcd_tpu.kernels.block_conv import space_to_depth_fast
+        if not vol_pre_s2d:
+            from fcd_tpu.kernels.block_conv import space_to_depth_fast
 
-        vol_c = space_to_depth_fast(vol_c[None])[0]
+            vol_c = space_to_depth_fast(vol_c[None])[0]
 
         def gather(s):
             s0, s1, s2 = s[0] // 2, s[1] // 2, s[2] // 2
@@ -318,6 +350,15 @@ def _sliding_window_static_impl(
             cfg = [(p, f - p - e) for p, f, e in zip(pos, full, ext)]
             term = jnp.pad(logits[i] * imp_lanes, cfg + [(0, 0)])
             acc = term if acc is None else acc + term
+        if exit_form == "pallas":
+            from fcd_tpu.kernels.d2s_exit import d2s_exit_flat
+
+            # (d2, h2, w2, 8O) -> (d2, h2, 8O, w2): a layout-only
+            # transpose (the blend accumulator's natural XLA layout is
+            # W-minor), consumed by the fused exit kernel
+            acc_t = jnp.transpose(acc, (0, 1, 3, 2))
+            return d2s_exit_flat(acc_t, inv_cnt, out_channels,
+                                 interpret=jax.default_backend() != "tpu")
         out = acc * jnp.repeat(inv_cnt, out_channels, axis=-1)
         return _exit_d2s(out[None], out_channels)[0]
 
@@ -370,6 +411,30 @@ def _inverse_coverage(padded_shape, roi_size, overlap, sw_batch, blend,
 
 
 @functools.lru_cache(maxsize=8)
+def _inverse_coverage_exit_t(padded_shape, roi_size, overlap, blend,
+                             sigma_scale, out_channels) -> jnp.ndarray:
+    """Reciprocal blend coverage for the fused Pallas exit: the s2d
+    coverage repeated to 8*O lanes and TRANSPOSED to (d2, h2, 8*O, w2),
+    device-resident and cached per grid config."""
+    pd, ph, pw = padded_shape
+    starts = dense_patch_starts(padded_shape, roi_size, overlap)
+    if blend == "gaussian":
+        imp_np = gaussian_importance(roi_size, sigma_scale)
+    else:
+        imp_np = np.ones(roi_size, np.float32)
+    cnt_np = np.zeros((pd, ph, pw), np.float32)
+    for sd, sh_, sw_ in starts:
+        cnt_np[sd:sd + roi_size[0], sh_:sh_ + roi_size[1],
+               sw_:sw_ + roi_size[2]] += imp_np
+    inv = 1.0 / np.maximum(cnt_np, 1e-8)
+    inv = (inv.reshape(pd // 2, 2, ph // 2, 2, pw // 2, 2)
+              .transpose(0, 2, 4, 1, 3, 5)
+              .reshape(pd // 2, ph // 2, pw // 2, 8))
+    inv = np.repeat(inv, out_channels, axis=-1)       # (d2, h2, w2, 8O)
+    return jnp.asarray(np.ascontiguousarray(inv.transpose(0, 1, 3, 2)))
+
+
+@functools.lru_cache(maxsize=8)
 def _device_grid(padded_shape, roi_size, overlap, sw_batch):
     """Patch-start and validity arrays as DEVICE-RESIDENT constants, cached
     per grid config: they are static functions of the grid, and re-uploading
@@ -409,9 +474,19 @@ def sliding_window_inference(
     compute_dtype=jnp.float32,
     patch_s2d: bool = False,
     s2d_logits: bool = False,
+    flat_output: bool = False,
 ) -> jnp.ndarray:
     """Run `predictor` over a (D, H, W, C) volume in overlapping roi-size
     patches and blend the logits. Returns (D, H, W, out_channels) float32.
+
+    flat_output=True (s2d_logits static path only): return the volume as
+    (D, H, W*out_channels) f32 via the fused Pallas exit kernel — the
+    C-order bytes of the 4-D volume (``np.asarray(out).reshape(D, H, W,
+    O)`` is a free view). This skips the ~12 ms/volume of XLA boundary-
+    layout copies the 4-D device array costs on v5e; used by bench.py
+    and anywhere the next consumer is the host. Falls back to the 4-D
+    return when the kernel does not apply (padding needed, W too wide,
+    non-TPU backend without interpret parity, dynamic-grid path).
 
     The predictor must map (B, rd, rh, rw, C) -> (B, rd, rh, rw, out_channels)
     and should already be parameter-bound (and jittable). With
@@ -441,13 +516,27 @@ def sliding_window_inference(
     starts_dev, valid_dev = _device_grid((pd, ph, pw), roi_size, overlap,
                                          sw_batch)
 
-    inv_cnt = _inverse_coverage(
-        (pd, ph, pw), roi_size, overlap, sw_batch, blend, sigma_scale,
-        s2d_logits)
-
     import os
 
-    if os.environ.get("FCD_SW_STATIC", "1") != "0":
+    static_grid = os.environ.get("FCD_SW_STATIC", "1") != "0"
+    exit_form = "mm"
+    if (flat_output and s2d_logits and static_grid and not any(pad)
+            and os.environ.get("FCD_SW_FLAT_EXIT", "1") != "0"):
+        from fcd_tpu.kernels.d2s_exit import d2s_exit_supported
+
+        if d2s_exit_supported(pd // 2, ph // 2, pw // 2, out_channels):
+            exit_form = "pallas"
+
+    if exit_form == "pallas":
+        inv_cnt = _inverse_coverage_exit_t(
+            (pd, ph, pw), roi_size, overlap, blend, sigma_scale,
+            out_channels)
+    else:
+        inv_cnt = _inverse_coverage(
+            (pd, ph, pw), roi_size, overlap, sw_batch, blend, sigma_scale,
+            s2d_logits)
+
+    if static_grid:
         # Default since the pad-tree blend rewrite: static offsets let the
         # 8 blend contributions fuse into one output pass instead of a
         # dynamic-update-slice scatter chain. A/B on v5e (full bench):
@@ -459,8 +548,11 @@ def sliding_window_inference(
         sw_fn = (_sliding_window_jit_static_stdlayout()
                  if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
                  else _sliding_window_jit_static)
+        vol_pre_s2d = exit_form == "pallas" and patch_s2d
+        vol_in = (_entry_s2d(padded, compute_dtype=compute_dtype)
+                  if vol_pre_s2d else padded)
         out = sw_fn(
-            padded,
+            vol_in,
             inv_cnt,
             predictor=predictor,
             starts_t=tuple(tuple(int(v) for v in s) for s in starts_np),
@@ -473,6 +565,8 @@ def sliding_window_inference(
             compute_dtype=compute_dtype,
             patch_s2d=patch_s2d,
             s2d_logits=s2d_logits,
+            exit_form=exit_form,
+            vol_pre_s2d=vol_pre_s2d,
         )
     else:
         sw_fn = (_sliding_window_jit_stdlayout()

@@ -566,19 +566,22 @@ def make_blocked_weights_8tap(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _parity_lane_masks(h_out: int, w_out: int, c8: int, h_last: int,
-                       w_last: int):
+                       w_last: int, w_offset: int = 0):
     """(keep_h & keep_w) lane-aware pad-slot mask for an OFFSET-blocked
     (h_out, w_out, 8c) slab: per axis, position 0 parity-0 lanes and the
     LAST REAL position's (h_last/w_last — the slab may carry extra
     zero columns for sublane alignment) parity-1 lanes are half-block
     padding (voxels -1 / N).
 
+    w_offset: the TRUE W position of column j is j + w_offset — used by
+    the W-paired layout, whose second lane half holds the W+1 neighbor.
+
     Built from minimal-shape iotas (broadcast resolves late) so the
     compiler never materializes full (h, w, 128) int32 temps."""
     c = c8 // 8
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c8), 2)
     hpos = jax.lax.broadcasted_iota(jnp.int32, (h_out, 1, 1), 0)
-    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, w_out, 1), 1)
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, w_out, 1), 1) + w_offset
     py = (lane // (2 * c)) % 2
     px = (lane // c) % 2
     keep = ((hpos > 0) | (py == 1)) & ((hpos != h_last) | (py == 0))
@@ -592,11 +595,41 @@ def _pz_lanes(h_out: int, w_out: int, c8: int):
     return (lane // (4 * c)) % 2
 
 
+def _conv8_paired() -> bool:
+    """FCD_CONV8_PAIRED=1 selects the W-PAIRED fused8 form: each slab
+    column carries its own lanes plus its W+1 neighbor's (2x8c lanes), so
+    the sx=1 taps — sublane-misaligned W slices Mosaic must copy before
+    every matmul — become LANE-half selections and the 8 taps collapse
+    into 4 aligned GEMMs with a 2x8c contraction (identical MACs)."""
+    import os
+
+    return os.environ.get("FCD_CONV8_PAIRED", "0") == "1"
+
+
+def pair_w_lanes(xp: jnp.ndarray) -> jnp.ndarray:
+    """(..., W, C) -> (..., W, 2C): lane-concat each W column with its W+1
+    neighbor (the last column pairs with zeros). One XLA pass; the W axis
+    length (and its sublane alignment) is unchanged."""
+    sh = jnp.pad(xp[:, :, :, 1:, :], ((0, 0),) * 3 + ((0, 1), (0, 0)))
+    return jnp.concatenate([xp, sh], axis=-1)
+
+
+def pair_blocked_weights_8tap(wblk8: jnp.ndarray) -> jnp.ndarray:
+    """(8, 8cin, 8cout) half-offset weights -> (4, 16cin, 8cout) W-paired
+    weights: tap (sz, sy) stacks the sx=0 and sx=1 matrices along the
+    contraction so one GEMM against the paired operand computes both."""
+    c8, cout8 = wblk8.shape[1], wblk8.shape[2]
+    t = wblk8.reshape(2, 2, 2, c8, cout8)
+    return jnp.concatenate([t[:, :, 0], t[:, :, 1]], axis=2).reshape(
+        4, 2 * c8, cout8)
+
+
 def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         has_prologue: bool, neg_slope: float,
                         want_stats: bool, h_last: int, w_last: int,
                         n_inputs: int = 1, res_hw=None,
-                        want_res_stats: bool = False):
+                        want_res_stats: bool = False,
+                        paired: bool = False):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -662,8 +695,17 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 
         if variant == "o2a":
             c8 = triples[0][0].shape[-1]
-            in_keep = _parity_lane_masks(h_in, w_in, c8, h_last, w_last)
-            pz_in = _pz_lanes(h_in, w_in, c8)
+            if paired:
+                ch = c8 // 2
+                in_keep = jnp.concatenate(
+                    [_parity_lane_masks(h_in, w_in, ch, h_last, w_last),
+                     _parity_lane_masks(h_in, w_in, ch, h_last, w_last,
+                                        w_offset=1)], axis=-1)
+                pz_half = _pz_lanes(h_in, w_in, ch)
+                pz_in = jnp.concatenate([pz_half, pz_half], axis=-1)
+            else:
+                in_keep = _parity_lane_masks(h_in, w_in, c8, h_last, w_last)
+                pz_in = _pz_lanes(h_in, w_in, c8)
             n_z_in = n_z + 1
 
         def load(ref, s):
@@ -691,6 +733,17 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 base = rows[sz]
                 for sy in range(2):
                     su = base[sy:sy + h_out]
+                    if paired:
+                        # sx lives in the lane halves: one aligned GEMM
+                        # with a doubled contraction covers both W taps
+                        sl = su[:, 0:w_out, :]
+                        d = jax.lax.dot_general(
+                            sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = d if acc is None else acc + d
+                        tap += 1
+                        continue
                     for sx in range(2):
                         sl = su[:, sx:sx + w_out, :]
                         d = jax.lax.dot_general(
@@ -701,8 +754,13 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         tap += 1
             if want_res:
                 rh, rw = res_hw
-                # x_hi IS aligned depth-row z (interior of the H/W halo)
-                rsl = rows[1][1:1 + rh, 1:1 + rw, :]
+                # x_hi IS aligned depth-row z (interior of the H/W halo);
+                # paired: W position u+1 is the second lane half at u
+                if paired:
+                    ch = rows[1].shape[-1] // 2
+                    rsl = rows[1][1:1 + rh, 0:rw, ch:]
+                else:
+                    rsl = rows[1][1:1 + rh, 1:1 + rw, :]
                 rd = jax.lax.dot_general(
                     rsl, trip[3][0], (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -749,7 +807,7 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
                  interpret, res_wblks=None, res_hw=None,
-                 want_res_stats=False):
+                 want_res_stats=False, paired=False):
     xps = xp if isinstance(xp, (list, tuple)) else [xp]
     wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
     assert len(xps) == len(wblks)
@@ -777,16 +835,17 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h_in, w_in, c8i), hi,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c8i, cout8), lambda b, z: (0, 0, 0),
+            pl.BlockSpec(tuple(wblki.shape), lambda b, z: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         inputs += [xpi, xpi, wblki]
         if want_res:
+            rk = res_wblks[i].shape[-2]
             rcout8 = res_wblks[i].shape[-1]
             in_specs.append(
-                pl.BlockSpec((1, c8i, rcout8), lambda b, z: (0, 0, 0),
+                pl.BlockSpec((1, rk, rcout8), lambda b, z: (0, 0, 0),
                              memory_space=pltpu.VMEM))
-            inputs.append(res_wblks[i].reshape(1, c8i, rcout8))
+            inputs.append(res_wblks[i].reshape(1, rk, rcout8))
     if has_prologue:
         c8 = xps[0].shape[-1]
         for arr in (in_scale, in_shift):
@@ -825,7 +884,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                             want_stats=want_stats, h_last=h_last,
                             w_last=w_last, n_inputs=len(xps),
                             res_hw=res_hw if want_res else None,
-                            want_res_stats=want_res_stats),
+                            want_res_stats=want_res_stats, paired=paired),
         grid=(bsz, d_out),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -919,10 +978,15 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     xp = _halo_pad(xs, w_in)
+    paired = _conv8_paired()
+    if paired:
+        xp = pair_w_lanes(xp)
+        wblk8 = pair_blocked_weights_8tap(wblk8)
     return _fused8_call(
         xp, wblk8, variant="a2o", d_out=d2 + 1, h_out=h2 + 1, w_out=w_out,
         h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
         want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
+        paired=paired,
     )
 
 
@@ -945,14 +1009,19 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     xps = [_halo_pad(xs, w_in) for xs in xs_list]
+    wblks = list(wblk8_list)
+    paired = _conv8_paired()
+    if paired:
+        xps = [pair_w_lanes(x) for x in xps]
+        wblks = [pair_blocked_weights_8tap(w) for w in wblks]
     return _fused8_call(
-        xps, list(wblk8_list), variant="a2o", d_out=d2 + 1, h_out=h2 + 1,
+        xps, wblks, variant="a2o", d_out=d2 + 1, h_out=h2 + 1,
         w_out=w_out, h_last=h2, w_last=w2, in_scale=None, in_shift=None,
         neg_slope=1.0, want_stats=want_stats, out_dtype=out_dtype,
         interpret=interpret,
         res_wblks=None if res_wblk_list is None else list(res_wblk_list),
         res_hw=None if res_wblk_list is None else (h2, w2),
-        want_res_stats=want_res_stats,
+        want_res_stats=want_res_stats, paired=paired,
     )
 
 
@@ -970,11 +1039,18 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
     bsz, d2p, h2p, w2p, _ = ys.shape
     d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
     assert w2p == _pad8(w2 + 1), (ys.shape, "expected a2o-padded W axis")
+    paired = _conv8_paired()
+    if paired:
+        ys = pair_w_lanes(ys)
+        wblk8 = pair_blocked_weights_8tap(wblk8)
+        if in_scale is not None:
+            in_scale = jnp.concatenate([in_scale, in_scale], axis=-1)
+            in_shift = jnp.concatenate([in_shift, in_shift], axis=-1)
     return _fused8_call(
         ys, wblk8, variant="o2a", d_out=d2, h_out=h2, w_out=w2,
         h_last=h2, w_last=w2, in_scale=in_scale, in_shift=in_shift,
         neg_slope=neg_slope, want_stats=want_stats, out_dtype=out_dtype,
-        interpret=interpret,
+        interpret=interpret, paired=paired,
     )
 
 

@@ -58,7 +58,8 @@ def build():
             out_channels=2, sw_batch=params["sw_batch_size"],
             overlap=params["sw_overlap"], blend=params["sw_blend"],
             compute_dtype=jnp.bfloat16, patch_s2d=use_s2d,
-            s2d_logits=use_s2d)
+            s2d_logits=use_s2d,
+            flat_output=os.environ.get("FCD_STREAM_FLAT", "1") != "0")
 
     return run
 
@@ -78,14 +79,14 @@ def main():
 
     # warmup / compile
     out = run(vols[0])
-    np.asarray(out[0, 0, 0, 0])
+    np.asarray(out[(0,) * out.ndim])
     log("warmup done (compile included)")
 
     # latency mode: sync per volume
     t0 = time.perf_counter()
     for i in range(n):
         out = run(vols[i % 2])
-        np.asarray(out[0, 0, 0, 0])
+        np.asarray(out[(0,) * out.ndim])
     lat = (time.perf_counter() - t0) / n
     print(f"latency mode : {lat * 1e3:7.1f} ms/vol  {1 / lat:6.3f} vol/s")
 
@@ -93,7 +94,7 @@ def main():
     t0 = time.perf_counter()
     outs = [run(vols[i % 2]) for i in range(n)]
     for o in outs:
-        np.asarray(o[0, 0, 0, 0])
+        np.asarray(o[(0,) * o.ndim])
     st = (time.perf_counter() - t0) / n
     print(f"streamed mode: {st * 1e3:7.1f} ms/vol  {1 / st:6.3f} vol/s")
 

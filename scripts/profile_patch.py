@@ -121,12 +121,14 @@ def build_sw():
     def predictor(p):  # stable identity: one jit cache entry across calls
         return predict(variables, p)
 
+    flat = os.environ.get("FCD_PROFILE_FLAT", "1") != "0"
+
     def step(_):
         out = sliding_window_inference(
             vol, predictor, roi_size=(128,) * 3,
             out_channels=2, sw_batch=1, overlap=0.25, blend="constant",
             compute_dtype=jnp.bfloat16, patch_s2d=use_s2d,
-            s2d_logits=use_s2d)
+            s2d_logits=use_s2d, flat_output=flat)
         return out
 
     return step, jnp.zeros(())
@@ -141,7 +143,7 @@ def main():
     else:
         step, x = build_predictor()
     y = step(x)
-    _ = jnp.asarray(y)[0, 0, 0, 0]  # sync through the relay
+    _ = jnp.asarray(y)[(0,) * jnp.ndim(y)]  # sync through the relay
 
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
