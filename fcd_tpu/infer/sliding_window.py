@@ -435,6 +435,21 @@ def _inverse_coverage_exit_t(padded_shape, roi_size, overlap, blend,
 
 
 @functools.lru_cache(maxsize=8)
+def _host_grid(padded_shape, roi_size, overlap, sw_batch):
+    """Patch starts/validity as HOST tuples for the static-grid path,
+    cached per grid config. (The earlier form fetched the device arrays
+    back with np.asarray each call — a relay round-trip per volume.)"""
+    starts = dense_patch_starts(padded_shape, roi_size, overlap)
+    n = starts.shape[0]
+    n_pad = (-n) % sw_batch
+    valid = [True] * n + [False] * n_pad
+    if n_pad:
+        starts = np.concatenate(
+            [starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
+    return (tuple(tuple(int(v) for v in s) for s in starts), tuple(valid))
+
+
+@functools.lru_cache(maxsize=8)
 def _device_grid(padded_shape, roi_size, overlap, sw_batch):
     """Patch-start and validity arrays as DEVICE-RESIDENT constants, cached
     per grid config: they are static functions of the grid, and re-uploading
@@ -513,9 +528,6 @@ def sliding_window_inference(
         padded = jnp.pad(volume, cfg)
     pd, ph, pw, _ = padded.shape
 
-    starts_dev, valid_dev = _device_grid((pd, ph, pw), roi_size, overlap,
-                                         sw_batch)
-
     import os
 
     static_grid = os.environ.get("FCD_SW_STATIC", "1") != "0"
@@ -543,8 +555,8 @@ def sliding_window_inference(
         # static 8.61 vs dynamic 8.37 vol/s. (The earlier static variant
         # with a dus blend chain measured 7.48 — the blend formulation,
         # not the pre-gather, was the difference.)
-        starts_np = np.asarray(starts_dev)
-        valid_np = np.asarray(valid_dev)
+        starts_t, valid_t = _host_grid((pd, ph, pw), roi_size, overlap,
+                                       sw_batch)
         sw_fn = (_sliding_window_jit_static_stdlayout()
                  if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
                  else _sliding_window_jit_static)
@@ -555,8 +567,8 @@ def sliding_window_inference(
             vol_in,
             inv_cnt,
             predictor=predictor,
-            starts_t=tuple(tuple(int(v) for v in s) for s in starts_np),
-            valid_t=tuple(bool(v) for v in valid_np),
+            starts_t=starts_t,
+            valid_t=valid_t,
             roi_size=roi_size,
             sw_batch=sw_batch,
             out_channels=out_channels,
@@ -569,6 +581,8 @@ def sliding_window_inference(
             vol_pre_s2d=vol_pre_s2d,
         )
     else:
+        starts_dev, valid_dev = _device_grid((pd, ph, pw), roi_size,
+                                             overlap, sw_batch)
         sw_fn = (_sliding_window_jit_stdlayout()
                  if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
                  else _sliding_window_jit)

@@ -382,25 +382,88 @@ def instance_norm_act_offset(ys: jnp.ndarray, c: int, n_true: int,
     return jnp.where(keep[None], t, 0.0).astype(ys.dtype)
 
 
+def _upsample_wm(w: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """(2,2,2,cin,cout) transposed-conv kernel (flax orientation) ->
+    (cin, 8*cout) matrix: lax.conv_transpose flips the kernel, so output
+    sub-voxel q uses tap (1-qz, 1-qy, 1-qx)."""
+    cout = w.shape[4]
+    wf = jnp.flip(w, axis=(0, 1, 2))
+    return wf.reshape(8, cin, cout).transpose(1, 0, 2).reshape(cin, 8 * cout)
+
+
+def _upsample_s2d_impl(ys, cin, w):
+    import os
+
+    cout = w.shape[4]
+    wm = _upsample_wm(w, cin)
+    # FCD_UP_KERNEL=1: Pallas one-pass upsample. A/B on v5e (full bench):
+    # 9.75 vs 9.78 vol/s — NEUTRAL. The d2s copies attributed to this op
+    # belong elsewhere (profile_patch: copy.544/545 persist either way),
+    # and the kernel's 8-D output carries a T(2,128) tiling whose final
+    # reshape is a real copy. Kept gated off as the parity-tested basis
+    # for a future upsample+conv fusion.
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("FCD_UP_KERNEL", "0") == "1"):
+        from fcd_tpu.kernels.upsample import (
+            upsample_pallas_supported,
+            upsample_s2d_pallas,
+        )
+
+        if upsample_pallas_supported(ys.shape[2], ys.shape[3], cin, cout):
+            return upsample_s2d_pallas(
+                ys.astype(jnp.bfloat16), wm, cin, cout, out_dtype=ys.dtype)
+    z = conv1x1_s2d(ys, wm)                  # (B, d4, h4, w4, 8*(8*cout))
+    return from_s2d(z, 8 * cout)             # (B, d2, h2, w2, 8*cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _upsample_s2d_core(ys, cin, w):
+    return _upsample_s2d_impl(ys, cin, w)
+
+
+def _upsample_s2d_fwd(ys, cin, w):
+    return _upsample_s2d_impl(ys, cin, w), (ys, w)
+
+
+def _upsample_s2d_bwd(cin, res, dy):
+    """Manual adjoint (keeps the Pallas forward differentiable without a
+    backward recompute): regroup the fine cotangent back onto the coarse
+    grid (a space_to_depth of lane-dense channels), then the block-diag
+    matmul with wm^T gives d_ys and a grouped einsum gives dw."""
+    ys, w = res
+    cout = w.shape[4]
+    wm = _upsample_wm(w, cin)
+    dyf = dy.astype(jnp.float32)
+    dz = space_to_depth(dyf)                 # (B, d4, h4, w4, 8*(8*cout))
+    d_ys = conv1x1_s2d(dz, wm.T.astype(jnp.float32)).astype(ys.dtype)
+    ysf = ys.astype(jnp.float32).reshape(-1, 8, cin)
+    dzf = dz.reshape(-1, 8, 8 * cout)
+    dwm = jnp.einsum("ngi,ngq->iq", ysf, dzf)
+    dwf = dwm.reshape(cin, 8, cout).transpose(1, 0, 2).reshape(
+        2, 2, 2, cin, cout)
+    dw = jnp.flip(dwf, axis=(0, 1, 2)).astype(w.dtype)
+    return d_ys, dw
+
+
+_upsample_s2d_core.defvjp(_upsample_s2d_fwd, _upsample_s2d_bwd)
+
+
 def upsample2x_s2d_to_s2d(ys: jnp.ndarray, cin: int, w: jnp.ndarray,
                           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Transposed conv k2 s2 from the COARSE grid's s2d tensor straight to
     the FINE grid's s2d tensor — the s2d-chained form of upsample2x_into_s2d.
 
     For fine-block position V = 2*vs + p, the upsampled block is
-    ys[vs, p-group] @ W (one input voxel per output block). One block-diag
-    matmul produces Z[vs, (p, q, cout)] for all parities, and a
-    depth-to-space on Z's LANE-DENSE (8*8*cout) channels regroups p into
-    the fine grid — the lane-sparse from_s2d exit between consecutive
-    s2d-resident decoders never happens.
+    ys[vs, p-group] @ W (one input voxel per output block). On TPU the
+    whole op runs as one Pallas pass (kernels/upsample.py) — the XLA
+    form's depth-to-space regroup cost ~4.4 ms/volume in reshape/
+    transpose copies; elsewhere it is one block-diag matmul + from_s2d.
+    Differentiable via a manual adjoint (the exact transpose of the
+    block-diag matmul on the regrouped cotangent).
     ys: (B, d4, h4, w4, 8*cin) s2d of the coarse grid;
     w: (2, 2, 2, cin, cout) (flax ConvTranspose orientation);
     returns (B, d2, h2, w2, 8*cout) s2d of the fine grid."""
-    cout = w.shape[4]
-    wf = jnp.flip(w, axis=(0, 1, 2))
-    wm = wf.reshape(8, cin, cout).transpose(1, 0, 2).reshape(cin, 8 * cout)
-    z = conv1x1_s2d(ys, wm)                  # (B, d4, h4, w4, 8*(8*cout))
-    out = from_s2d(z, 8 * cout)              # (B, d2, h2, w2, 8*cout)
+    out = _upsample_s2d_core(ys, cin, w)
     if b is not None:
         out = out + jnp.tile(b, 8).astype(out.dtype)
     return out

@@ -1,0 +1,65 @@
+"""Pallas s2d-to-s2d upsample kernel (kernels/upsample.py) and the
+manual adjoint of upsample2x_s2d_to_s2d.
+
+Reference semantics: transposed conv k2 s2 (conv_blocks.py:548-557
+upsample path) expressed on the s2d lattice.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fcd_tpu.ops.s2d_ops import (
+    _upsample_wm,
+    conv1x1_s2d,
+    from_s2d,
+    upsample2x_s2d_to_s2d,
+)
+from fcd_tpu.kernels.upsample import upsample_s2d_pallas
+
+CIN, COUT = 8, 4
+
+
+def _xla_ref(ys, w, b=None):
+    wm = _upsample_wm(w, CIN)
+    out = from_s2d(conv1x1_s2d(ys, wm), 8 * COUT)
+    if b is not None:
+        out = out + jnp.tile(b, 8).astype(out.dtype)
+    return out
+
+
+def test_upsample_kernel_forward_parity():
+    rng = np.random.RandomState(0)
+    ys = jnp.asarray(rng.randn(2, 3, 5, 4, 8 * CIN).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 2, CIN, COUT).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(COUT).astype(np.float32))
+    wm = _upsample_wm(w.astype(jnp.bfloat16), CIN)
+    interp = jax.default_backend() != "tpu"
+    for bias in (None, b):
+        got = upsample_s2d_pallas(ys.astype(jnp.bfloat16), wm, CIN, COUT,
+                                  bias=bias, out_dtype=jnp.float32,
+                                  interpret=interp)
+        ref = _xla_ref(ys.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       bias).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-2)
+
+
+def test_upsample_adjoint_matches_autodiff():
+    rng = np.random.RandomState(1)
+    ys = jnp.asarray(rng.randn(1, 2, 3, 4, 8 * CIN).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 2, CIN, COUT).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(COUT).astype(np.float32))
+
+    def loss_new(ys_, w_):
+        o = upsample2x_s2d_to_s2d(ys_, CIN, w_, b)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def loss_ref(ys_, w_):
+        return jnp.sum(jnp.sin(_xla_ref(ys_, w_, b).astype(jnp.float32)))
+
+    g_new = jax.grad(loss_new, argnums=(0, 1))(ys, w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(ys, w)
+    for a, r in zip(g_new, g_ref):
+        rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
+        assert rel < 1e-5, rel
