@@ -1,0 +1,78 @@
+"""Pallas backward kernel for the s2d-exit max pool.
+
+`ops.s2d_ops.max_pool_2x_s2d_exit` pools the 8 parity lane groups of an
+s2d tensor (the 2x max pool on the original grid). Its backward — an
+even gradient split among equal maxima, matching jnp.max — is a pure
+elementwise pass, but XLA lowers the 8-way compare/select/divide/concat
+chain as several full-tensor fusions measured at ~18 ms of the 186 ms
+train step (profile_train_step: select_convert_fusion.2/.3,
+slice_compare_fusion, concatenate.753). This kernel does it in one
+read of xs and one write of dx per depth row.
+
+Semantics (identical to the XLA form in s2d_ops._pool_bwd):
+dx[..., g*c + j] = (xs[..., g*c + j] == m[..., j]) * g_cot[..., j] /
+count_of_equal_maxima[..., j].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_pool_bwd_kernel(c: int):
+    def kernel(xs_ref, m_ref, g_ref, dx_ref):
+        # compare in f32: Mosaic rejects bf16 cmpf on v5e; bf16 values
+        # are exactly representable in f32 so the semantics are identical
+        xs = xs_ref[0, 0].astype(jnp.float32)   # (h2, w2, 8c)
+        m = m_ref[0, 0].astype(jnp.float32)     # (h2, w2, c)
+        gc = g_ref[0, 0].astype(jnp.float32)    # (h2, w2, c)
+        m128 = jnp.concatenate([m] * 8, axis=-1)
+        eq = xs == m128                         # full-lane compare
+        eqf = eq.astype(jnp.float32)
+        cnt = None
+        for i in range(8):
+            piece = eqf[..., i * c:(i + 1) * c]
+            cnt = piece if cnt is None else cnt + piece
+        scale = gc / cnt
+        scale128 = jnp.concatenate([scale] * 8, axis=-1)
+        dx = jnp.where(eq, scale128, jnp.zeros_like(scale128))
+        dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def pool_bwd_pallas(xs: jnp.ndarray, m: jnp.ndarray, g: jnp.ndarray,
+                    c: int, *, interpret: bool = False) -> jnp.ndarray:
+    """xs: (B, d2, h2, w2, 8c) pool input; m: (B, d2, h2, w2, c) pooled
+    max; g: cotangent of m. Returns dx with jnp.max-identical tie
+    semantics (even split among equal maxima)."""
+    b, d2, h2, w2, c8 = xs.shape
+
+    def row(bb, z):
+        return (bb, z, 0, 0, 0)
+
+    return pl.pallas_call(
+        _make_pool_bwd_kernel(c),
+        grid=(b, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h2, w2, c8), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xs.shape, xs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xs, m, g.astype(jnp.float32))
+
+
+def pool_bwd_supported(h2: int, w2: int, c: int) -> bool:
+    c8 = 8 * c
+    slab = h2 * max(w2, 8) * max(c8, 128) * 2
+    small = h2 * max(w2, 8) * max(c, 128) * 4
+    return 2 * (2 * slab) + 2 * 2 * small + 4 * slab < 80 * 1024 * 1024

@@ -199,6 +199,14 @@ def _pool_fwd(xs, c):
 
 def _pool_bwd(c, res, g):
     xs, m = res
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("FCD_POOL_BWD_KERNEL", "1") != "0"):
+        from fcd_tpu.kernels.pool import pool_bwd_pallas, pool_bwd_supported
+
+        if pool_bwd_supported(xs.shape[2], xs.shape[3], c):
+            return (pool_bwd_pallas(xs, m, g, c),)
     eqs = [xs[..., i * c:(i + 1) * c] == m for i in range(8)]
     cnt = sum(e.astype(jnp.float32) for e in eqs)
     scale = g.astype(jnp.float32) / cnt

@@ -97,10 +97,11 @@ def make_train_step(
             if model_returns_vaeloss:
                 outputs, vae_loss = outputs
             tgt = label
-            if s2d_loss:
-                from fcd_tpu.kernels.block_conv import space_to_depth_fast
-
-                tgt = space_to_depth_fast(label)
+            if s2d_loss and label.shape[-1] == 1:
+                # fallback for callers passing raw (B, D, H, W, 1) labels
+                # (e.g. the mesh path); the jit wrapper below pre-s2d's
+                # them in a separate program instead
+                tgt = _label_s2d(label)
             loss = loss_fn(outputs, tgt, thickness) + loss_vae_weight * (
                 vae_loss if model_returns_vaeloss else 0.0
             )
@@ -123,7 +124,34 @@ def make_train_step(
     if not wrap_jit:
         return step_fn
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
+    import os
+
+    if not s2d_loss or os.environ.get("FCD_LABEL_PREJIT", "1") == "0":
+        return jitted
+
+    # label s2d as its OWN jit: inside the step program XLA assigns the
+    # one-hot-conv transform transfer-oriented T(1,128)/T(4,128) layouts
+    # and relayouts the label parameter (profile_train_step: ~8 ms of a
+    # 186 ms step); decoupled, it compiles to the cheap form — the same
+    # layout-domain lesson as sliding_window._entry_s2d
+    def wrapped(state, image, label, lr, rng, thickness=None):
+        tgt = _label_s2d_jit(label) if label.shape[-1] == 1 else label
+        return jitted(state, image, tgt, lr, rng, thickness)
+
+    return wrapped
+
+
+def _label_s2d(label):
+    """(B, D, H, W, 1) labels -> (B, D/2, H/2, W/2, 8) s2d labels."""
+    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+
+    return space_to_depth_fast(label)
+
+
+@jax.jit
+def _label_s2d_jit(label):
+    return _label_s2d(label)
 
 
 def make_eval_fn(model, *, model_returns_vaeloss: bool = False,

@@ -424,6 +424,7 @@ class ModelTrainer:
             cd_prob, gm_prob = scheduled_probs(p, epoch)
 
             epoch_loss, step_count = 0.0, 0
+            pending_loss = None
             n_steps = -(-len(train_ds) // max(p.get("batch_size", 1), 1))
             for images, labels in train_loader:
                 self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
@@ -454,14 +455,27 @@ class ModelTrainer:
                 else:
                     step = self.train_step
                 self.state, loss = step(self.state, xb, yb, lr, step_key)
-                epoch_loss += float(loss)
+                # one-step-lagged loss fetch: float(prev) round-trips the
+                # host while THIS step runs on device (a per-step sync
+                # costs ~30-45 ms through a remote runtime; the reference
+                # pays it via loss.item(), train.py:382)
+                if pending_loss is not None:
+                    epoch_loss += float(pending_loss)
+                    step_count += 1
+                    if self.verbose:
+                        # live running-loss progress (train.py:363,392)
+                        print(f"\r  {step_count}/{n_steps} "
+                              f"loss: {epoch_loss / step_count:.4f}",
+                              end="", flush=True)
+                pending_loss = loss
+
+            if pending_loss is not None:
+                epoch_loss += float(pending_loss)
                 step_count += 1
                 if self.verbose:
-                    # live running-loss progress (train.py:363,392 tqdm UX)
                     print(f"\r  {step_count}/{n_steps} "
                           f"loss: {epoch_loss / step_count:.4f}",
                           end="", flush=True)
-
             if self.verbose and step_count:
                 print(flush=True)
             epoch_loss /= max(step_count, 1)
