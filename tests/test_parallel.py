@@ -115,3 +115,55 @@ def test_cli_train_mesh_matches_single_device(tmp_path, monkeypatch):
 
     assert len(losses["8"]) == 2
     np.testing.assert_allclose(losses["8"], losses["1"], rtol=1e-4)
+
+
+def test_tp_train_step_matches_single_device():
+    """Megatron-paired tensor parallelism over a ("data","model") mesh:
+    one TP+DP step on MS_DSA_NET (the model the pairing rules target)
+    matches the single-device step. GSPMD inserts the row-parallel psums;
+    correctness here validates the sharding annotations are consistent."""
+    from fcd_tpu.parallel.tp import (
+        make_tp_mesh, make_tp_train_step, shard_batch_tp, shard_state_tp,
+        tp_spec_for,
+    )
+
+    params = get_default_params()
+    params.update(
+        model_type="MS_DSA_NET", patch_size=16, feature_size=8,
+        project_size=4, chans_in=2, chans_out=2, use_amp=False,
+        loss="DiceCELoss",
+    )
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    state = create_train_state(model, variables, params)
+    tx = make_optimizer(params)
+    loss_fn = make_combined_loss(params)
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 16, 16, 16, 2).astype(np.float32)
+    y = (rng.rand(2, 16, 16, 16, 1) > 0.7).astype(np.float32)
+
+    step1 = make_train_step(model, loss_fn, tx, donate=False)
+    sd_state, sd_loss = step1(state, jnp.asarray(x), jnp.asarray(y), 1e-3,
+                              jax.random.PRNGKey(0))
+
+    mesh = make_tp_mesh(2, 4)
+    tp_step = make_tp_train_step(model, loss_fn, tx, mesh, donate=False)
+    tstate = shard_state_tp(state, mesh)
+    # the rules must actually engage: at least one row- and one col-sharded
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        __import__("fcd_tpu.parallel.tp", fromlist=["tp_tree_shardings"])
+        .tp_tree_shardings(state.params, mesh))]
+    assert any(sp == jax.sharding.PartitionSpec(None, None, None, None, "model")
+               for sp in specs), "no column-parallel conv kernel"
+    assert any("model" in (sp[-2] or "") if len(sp) >= 2 and sp[-2] else False
+               for sp in specs if len(sp) >= 2), "no row-parallel kernel"
+    xb = shard_batch_tp(mesh, jnp.asarray(x))
+    yb = shard_batch_tp(mesh, jnp.asarray(y))
+    tp_state, tp_loss = tp_step(tstate, xb, yb, 1e-3, jax.random.PRNGKey(0))
+
+    assert float(tp_loss) == pytest.approx(float(sd_loss), rel=1e-4)
+    a = jax.tree_util.tree_leaves(sd_state.params)[0]
+    b = jax.tree_util.tree_leaves(tp_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-6)
