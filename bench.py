@@ -163,12 +163,18 @@ def main() -> None:
         return out[(0,) * out.ndim]
 
     sync(jnp.stack([tip(run(vols[0])), tip(run(vols[1]))]).sum())  # warm sync path
-    t0 = time.perf_counter()
-    tips = []
-    for i in range(N_STREAM):
-        tips.append(tip(run(vols[i % 2])))
-    sync(jnp.stack(tips).sum())
-    dt = (time.perf_counter() - t0) / N_STREAM
+    # median of 3 reps: the streamed figure carries ~10% run-to-run spread
+    # from relay state (the synced loop is ~0.5%); the median is robust to
+    # a single slow rep without cherry-picking the best
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tips = []
+        for i in range(N_STREAM):
+            tips.append(tip(run(vols[i % 2])))
+        sync(jnp.stack(tips).sum())
+        reps.append((time.perf_counter() - t0) / N_STREAM)
+    dt = sorted(reps)[1]
     vol_per_s = 1.0 / dt
 
     # FLOPs per volume: per-patch forward cost x number of grid patches,

@@ -629,7 +629,8 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         want_stats: bool, h_last: int, w_last: int,
                         n_inputs: int = 1, res_hw=None,
                         want_res_stats: bool = False,
-                        paired: bool = False):
+                        paired: bool = False, vmem_halo: bool = False,
+                        w_pad_to: int = 0, carry: bool = False):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -663,17 +664,30 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
     assert variant in ("a2o", "o2a")
     # a2o's H/W halo is XLA zero-padding; an affine prologue would corrupt it
     assert not (variant == "a2o" and has_prologue)
+    # vmem_halo: the a2o input arrives depth-padded ONLY; each loaded row
+    # slab gets its H/W zero halo (+ W sublane alignment) composed in VMEM,
+    # replacing the ~50 GB/s XLA regrid pad with lane/sublane moves and
+    # shrinking the kernel's own input DMA to the unpadded slab
+    assert not (vmem_halo and variant != "a2o")
+    assert not (vmem_halo and paired)
+    # carry: the grid runs depth rows SEQUENTIALLY, so the row fetched as
+    # x_hi on step z is exactly x_lo of step z+1 — keep it in a VMEM
+    # scratch across steps and fetch each input row ONCE (halves the
+    # kernel's input DMA and the per-row halo-pad work). a2o only: its
+    # seed row (depth-pad row 0) is known zeros; o2a's row 0 is data.
+    assert not (carry and variant != "a2o")
     assert n_inputs == 1 or variant == "a2o"
     want_res = res_hw is not None
     assert not (want_res and variant != "a2o")
 
     def kernel(*refs):
         idx = 0
-        per_in = 4 if want_res else 3
+        per_in = (2 if carry else 3) + (1 if want_res else 0)
         triples = []
         for _ in range(n_inputs):
             triples.append(refs[idx:idx + per_in])
             idx += per_in
+        scr_refs = refs[len(refs) - n_inputs:] if carry else ()
         if has_prologue:
             scale_ref, shift_ref = refs[idx:idx + 2]
             idx += 2
@@ -710,6 +724,9 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 
         def load(ref, s):
             t = ref[0, 0]
+            if vmem_halo:
+                t = jnp.pad(
+                    t, ((1, 1), (1, w_pad_to - 1 - t.shape[1]), (0, 0)))
             if has_prologue:
                 t = t.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
                 if neg_slope != 1.0:
@@ -725,9 +742,19 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 
         acc = None
         racc = None
-        for trip in triples:
-            x_lo_ref, x_hi_ref, w_ref = trip[:3]
-            rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
+        for ti, trip in enumerate(triples):
+            if carry:
+                x_hi_ref, w_ref = trip[:2]
+                scr = scr_refs[ti]
+
+                @pl.when(z == 0)
+                def _(scr=scr):
+                    scr[...] = jnp.zeros_like(scr)
+
+                rows = (scr[...], load(x_hi_ref, 1))
+            else:
+                x_lo_ref, x_hi_ref, w_ref = trip[:3]
+                rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
             tap = 0
             for sz in range(2):
                 base = rows[sz]
@@ -762,10 +789,12 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 else:
                     rsl = rows[1][1:1 + rh, 1:1 + rw, :]
                 rd = jax.lax.dot_general(
-                    rsl, trip[3][0], (((2,), (0,)), ((), ())),
+                    rsl, trip[-1][0], (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 racc = rd if racc is None else racc + rd
+            if carry:
+                scr[...] = rows[1]
 
         if variant == "a2o":
             # zero the offset output's pad-slot lanes (voxels -1 / N per
@@ -807,7 +836,8 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
 def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
                  interpret, res_wblks=None, res_hw=None,
-                 want_res_stats=False, paired=False):
+                 want_res_stats=False, paired=False, vmem_halo=False,
+                 w_pad_to=0, carry=False):
     xps = xp if isinstance(xp, (list, tuple)) else [xp]
     wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
     assert len(xps) == len(wblks)
@@ -827,18 +857,29 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
 
     in_specs = []
     inputs = []
+    scratch_shapes = []
     for i, (xpi, wblki) in enumerate(zip(xps, wblks)):
         c8i = xpi.shape[-1]
         assert xpi.shape[2] == h_in and xpi.shape[3] == w_in
-        in_specs += [
-            pl.BlockSpec((1, 1, h_in, w_in, c8i), lo,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h_in, w_in, c8i), hi,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tuple(wblki.shape), lambda b, z: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        inputs += [xpi, xpi, wblki]
+        if carry:
+            in_specs.append(pl.BlockSpec((1, 1, h_in, w_in, c8i), hi,
+                                         memory_space=pltpu.VMEM))
+            inputs.append(xpi)
+            slab = ((h_in + 2, w_pad_to, c8i) if vmem_halo
+                    else (h_in, w_in, c8i))
+            scratch_shapes.append(pltpu.VMEM(slab, xpi.dtype))
+        else:
+            in_specs += [
+                pl.BlockSpec((1, 1, h_in, w_in, c8i), lo,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, h_in, w_in, c8i), hi,
+                             memory_space=pltpu.VMEM),
+            ]
+            inputs += [xpi, xpi]
+        in_specs.append(pl.BlockSpec(tuple(wblki.shape),
+                                     lambda b, z: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(wblki)
         if want_res:
             rk = res_wblks[i].shape[-2]
             rcout8 = res_wblks[i].shape[-1]
@@ -884,11 +925,14 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                             want_stats=want_stats, h_last=h_last,
                             w_last=w_last, n_inputs=len(xps),
                             res_hw=res_hw if want_res else None,
-                            want_res_stats=want_res_stats, paired=paired),
+                            want_res_stats=want_res_stats, paired=paired,
+                            vmem_halo=vmem_halo, w_pad_to=w_pad_to,
+                            carry=carry),
         grid=(bsz, d_out),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         # the full-resolution slabs (66x80x128 + f32 accumulator) overflow
         # the 16M default scoped-VMEM budget; v5e has 128M physical VMEM
         compiler_params=pltpu.CompilerParams(
@@ -900,6 +944,30 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
 
 def _pad8(v: int) -> int:
     return (v + 7) // 8 * 8
+
+
+def _a2o_vmem_halo() -> bool:
+    """Default a2o halo form: depth-only XLA pad + in-VMEM H/W halo
+    (FCD_A2O_PAD=vmem). Set FCD_A2O_PAD=pad/dus/pallas for the full
+    XLA-side pad formulations (see _halo_pad)."""
+    import os
+
+    return os.environ.get("FCD_A2O_PAD", "vmem") == "vmem"
+
+
+def _a2o_carry() -> bool:
+    """Row-carry for the a2o kernels (FCD_CONV8_CARRY): fetch each depth
+    row once and carry it across the sequential grid in VMEM scratch."""
+    import os
+
+    return os.environ.get("FCD_CONV8_CARRY", "0") == "1"
+
+
+def _depth_pad(xs: jnp.ndarray) -> jnp.ndarray:
+    """One zero depth-row on each side. D is above the (W, C) tile dims,
+    so this pad preserves tile geometry and runs at copy bandwidth —
+    unlike the H/W halo pad, which regrids every tile."""
+    return jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
 
 
 def _halo_pad_kernel(h2: int, w2: int, w_in: int):
@@ -923,14 +991,16 @@ def _halo_pad(xs: jnp.ndarray, w_in: int) -> jnp.ndarray:
     """One-block zero halo (+ W sublane alignment) for the a2o kernels.
 
     FCD_A2O_PAD selects the formulation, all A/B'd end-to-end on v5e:
-    'pad' (default) = jnp.pad — the XLA pad op regrids tiles at
+    'pad' = jnp.pad — the XLA pad op regrids tiles at
     ~50 GB/s on the level-1 shape but still wins (8.66 vol/s);
     'dus' = dynamic_update_slice into zeros (8.16 — the zeros buffer
     materializes, nothing fuses); 'pallas' = row-wise kernel composing
     the bordered row in VMEM (6.49 — the VMEM concats and the two
     edge-row fixup updates cost far more than the regrid they save).
-    Producer-side emission of the padded layout remains the only
-    promising route for this ~5 ms/volume."""
+    'vmem' (default; selected inside blocked_conv_a2o*, not here) =
+    depth-only jnp.pad (tile geometry preserved, ~copy bandwidth) with
+    the H/W halo composed in the conv kernel's VMEM prologue — no
+    full-tensor regrid pass at all, and 20% less kernel input DMA."""
     import os
 
     b, d2, h2, w2, c8 = xs.shape
@@ -977,8 +1047,9 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
     bsz, d2, h2, w2, _ = xs.shape
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
-    xp = _halo_pad(xs, w_in)
     paired = _conv8_paired()
+    vmem_halo = _a2o_vmem_halo() and not paired
+    xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
     if paired:
         xp = pair_w_lanes(xp)
         wblk8 = pair_blocked_weights_8tap(wblk8)
@@ -986,7 +1057,8 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
         xp, wblk8, variant="a2o", d_out=d2 + 1, h_out=h2 + 1, w_out=w_out,
         h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
         want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
-        paired=paired,
+        paired=paired, vmem_halo=vmem_halo, w_pad_to=w_in,
+        carry=_a2o_carry() and not paired,
     )
 
 
@@ -1008,9 +1080,11 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     bsz, d2, h2, w2, _ = xs_list[0].shape
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
-    xps = [_halo_pad(xs, w_in) for xs in xs_list]
-    wblks = list(wblk8_list)
     paired = _conv8_paired()
+    vmem_halo = _a2o_vmem_halo() and not paired
+    pad = _depth_pad if vmem_halo else (lambda xs: _halo_pad(xs, w_in))
+    xps = [pad(xs) for xs in xs_list]
+    wblks = list(wblk8_list)
     if paired:
         xps = [pair_w_lanes(x) for x in xps]
         wblks = [pair_blocked_weights_8tap(w) for w in wblks]
@@ -1022,6 +1096,8 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
         res_wblks=None if res_wblk_list is None else list(res_wblk_list),
         res_hw=None if res_wblk_list is None else (h2, w2),
         want_res_stats=want_res_stats, paired=paired,
+        vmem_halo=vmem_halo, w_pad_to=w_in,
+        carry=_a2o_carry() and not paired,
     )
 
 

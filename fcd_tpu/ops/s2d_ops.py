@@ -67,6 +67,17 @@ def conv3x3_s2d(xs: jnp.ndarray, w: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.
     return _conv3x3_s2d_fwd_impl(xs, w, out_dtype)
 
 
+def _lane_narrow_ok() -> bool:
+    """Whether the fused8 kernels accept sub-128-lane (c<16) operands
+    directly: the in-VMEM halo form does (verified on v5e, 1-ulp
+    accumulation diff vs the lane-padded form); the XLA-padded-halo and
+    W-paired forms hit the Mosaic odd-slab-cast rejection and need the
+    HBM lane pad."""
+    from fcd_tpu.kernels.block_conv import _a2o_vmem_halo, _conv8_paired
+
+    return _a2o_vmem_halo() and not _conv8_paired()
+
+
 def _conv_form() -> str:
     """Which blocked-conv formulation conv3x3_s2d uses (FCD_S2D_CONV):
 
@@ -524,9 +535,11 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     for xs, c in parts:
         w1p = w1[..., off:off + c, :].astype(jnp.float32)
         wrp = wres[off:off + c].astype(jnp.float32) if need_res else None
-        if c < 16:
-            # Mosaic rejects the odd-slab shape cast on sub-128-lane
-            # operands; pad the parity groups (and weights) to c=16
+        if c < 16 and not _lane_narrow_ok():
+            # legacy XLA-padded halo form: Mosaic rejects the odd-slab
+            # shape cast on sub-128-lane operands; pad the parity groups
+            # (and weights) to c=16 in HBM (8x the bytes of the data).
+            # The vmem-halo kernels consume the narrow operand directly.
             b_, d_, h_, w_ = xs.shape[:4]
             xs = jnp.pad(
                 xs.reshape(b_, d_, h_, w_, 8, c),
