@@ -630,7 +630,8 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         n_inputs: int = 1, res_hw=None,
                         want_res_stats: bool = False,
                         paired: bool = False, vmem_halo: bool = False,
-                        w_pad_to: int = 0, carry: bool = False):
+                        w_pad_to: int = 0, carry: bool = False,
+                        vpair: bool = False):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -676,6 +677,12 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
     # kernel's input DMA and the per-row halo-pad work). a2o only: its
     # seed row (depth-pad row 0) is known zeros; o2a's row 0 is data.
     assert not (carry and variant != "a2o")
+    # vpair: load the UNPAIRED slab (single DMA) and build the W-paired
+    # operand in VMEM — the paired compute path's aligned GEMMs without
+    # the HBM-paired form's doubled input DMA. The o2a prologue/masking
+    # runs on the raw slab BEFORE pairing (unpaired masks).
+    assert not (paired and vpair)
+    assert not (carry and vpair)
     assert n_inputs == 1 or variant == "a2o"
     want_res = res_hw is not None
     assert not (want_res and variant != "a2o")
@@ -738,6 +745,9 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         (r < n_z_in - 1) | (pz_in == 0))
                     t = jnp.where(keep, t, jnp.zeros_like(t))
                 t = t.astype(out_ref.dtype)
+            if vpair:
+                sh = jnp.pad(t[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+                t = jnp.concatenate([t, sh], axis=-1)
             return t
 
         acc = None
@@ -760,7 +770,7 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 base = rows[sz]
                 for sy in range(2):
                     su = base[sy:sy + h_out]
-                    if paired:
+                    if paired or vpair:
                         # sx lives in the lane halves: one aligned GEMM
                         # with a doubled contraction covers both W taps
                         sl = su[:, 0:w_out, :]
@@ -783,7 +793,7 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 rh, rw = res_hw
                 # x_hi IS aligned depth-row z (interior of the H/W halo);
                 # paired: W position u+1 is the second lane half at u
-                if paired:
+                if paired or vpair:
                     ch = rows[1].shape[-1] // 2
                     rsl = rows[1][1:1 + rh, 0:rw, ch:]
                 else:
@@ -837,7 +847,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
                  interpret, res_wblks=None, res_hw=None,
                  want_res_stats=False, paired=False, vmem_halo=False,
-                 w_pad_to=0, carry=False):
+                 w_pad_to=0, carry=False, vpair=False):
     xps = xp if isinstance(xp, (list, tuple)) else [xp]
     wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
     assert len(xps) == len(wblks)
@@ -927,7 +937,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                             res_hw=res_hw if want_res else None,
                             want_res_stats=want_res_stats, paired=paired,
                             vmem_halo=vmem_halo, w_pad_to=w_pad_to,
-                            carry=carry),
+                            carry=carry, vpair=vpair),
         grid=(bsz, d_out),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -953,6 +963,16 @@ def _a2o_vmem_halo() -> bool:
     import os
 
     return os.environ.get("FCD_A2O_PAD", "vmem") == "vmem"
+
+
+def _conv8_vpair() -> bool:
+    """In-VMEM W-pairing for the fused8 kernels (FCD_CONV8_VPAIR): load
+    the unpaired slab, pair in VMEM, run the 4-tap aligned GEMMs at a
+    doubled contraction — no Mosaic misaligned-slice copies, no doubled
+    HBM DMA."""
+    import os
+
+    return os.environ.get("FCD_CONV8_VPAIR", "1") == "1"
 
 
 def _a2o_carry() -> bool:
@@ -1048,17 +1068,19 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     paired = _conv8_paired()
+    vpair = _conv8_vpair() and not paired
     vmem_halo = _a2o_vmem_halo() and not paired
     xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
     if paired:
         xp = pair_w_lanes(xp)
+    if paired or vpair:
         wblk8 = pair_blocked_weights_8tap(wblk8)
     return _fused8_call(
         xp, wblk8, variant="a2o", d_out=d2 + 1, h_out=h2 + 1, w_out=w_out,
         h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
         want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
         paired=paired, vmem_halo=vmem_halo, w_pad_to=w_in,
-        carry=_a2o_carry() and not paired,
+        carry=_a2o_carry() and not (paired or vpair), vpair=vpair,
     )
 
 
@@ -1081,12 +1103,17 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     paired = _conv8_paired()
+    # vpair measured a win only on the single-part a2o kernel (enc1
+    # 4.85 -> 3.50 ms/volume); the multi-part kernels were flat and a
+    # downstream finale fusion regressed — keep them unpaired
+    vpair = _conv8_vpair() and not paired and len(xs_list) == 1
     vmem_halo = _a2o_vmem_halo() and not paired
     pad = _depth_pad if vmem_halo else (lambda xs: _halo_pad(xs, w_in))
     xps = [pad(xs) for xs in xs_list]
     wblks = list(wblk8_list)
     if paired:
         xps = [pair_w_lanes(x) for x in xps]
+    if paired or vpair:
         wblks = [pair_blocked_weights_8tap(w) for w in wblks]
     return _fused8_call(
         xps, wblks, variant="a2o", d_out=d2 + 1, h_out=h2 + 1,
@@ -1097,7 +1124,7 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
         res_hw=None if res_wblk_list is None else (h2, w2),
         want_res_stats=want_res_stats, paired=paired,
         vmem_halo=vmem_halo, w_pad_to=w_in,
-        carry=_a2o_carry() and not paired,
+        carry=_a2o_carry() and not (paired or vpair), vpair=vpair,
     )
 
 
@@ -1116,28 +1143,33 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
     d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
     assert w2p == _pad8(w2 + 1), (ys.shape, "expected a2o-padded W axis")
     paired = _conv8_paired()
+    # vpair on o2a measured flat (the kernel already runs ~77% MXU)
+    vpair = False
     if paired:
         ys = pair_w_lanes(ys)
-        wblk8 = pair_blocked_weights_8tap(wblk8)
         if in_scale is not None:
             in_scale = jnp.concatenate([in_scale, in_scale], axis=-1)
             in_shift = jnp.concatenate([in_shift, in_shift], axis=-1)
+    if paired or vpair:
+        wblk8 = pair_blocked_weights_8tap(wblk8)
     return _fused8_call(
         ys, wblk8, variant="o2a", d_out=d2, h_out=h2, w_out=w2,
         h_last=h2, w_last=w2, in_scale=in_scale, in_shift=in_shift,
         neg_slope=neg_slope, want_stats=want_stats, out_dtype=out_dtype,
-        interpret=interpret, paired=paired,
+        interpret=interpret, paired=paired, vpair=vpair,
     )
 
 
-def _make_dw8_kernel(h_t: int, w_t: int):
+def _make_dw8_kernel(h_t: int, w_t: int, *, vmem_halo: bool = False,
+                     w_pad_to: int = 0):
     """Weight-gradient kernel for the half-offset 8-tap pair: for each of
     the 8 slab shifts s, dW_blk[s] += (shifted source slab)^T (cotangent
     slab) — the exact adjoint of _make_fused8_kernel's tap loop,
     accumulated across the (batch, depth-row) grid. Serves BOTH
     directions: a2o (source = padded aligned rows, cotangent = offset
     rows) and o2a (source = offset rows, cotangent = aligned rows) —
-    only the slab dims differ."""
+    only the slab dims differ. vmem_halo (a2o direction): the source
+    arrives depth-padded only; H/W halo composed in VMEM per row."""
 
     def kernel(x_lo_ref, x_hi_ref, g_ref, dw_ref):
         z = pl.program_id(1)
@@ -1147,7 +1179,14 @@ def _make_dw8_kernel(h_t: int, w_t: int):
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        rows = (x_lo_ref[0, 0], x_hi_ref[0, 0])
+        def load(ref):
+            t = ref[0, 0]
+            if vmem_halo:
+                t = jnp.pad(
+                    t, ((1, 1), (1, w_pad_to - 1 - t.shape[1]), (0, 0)))
+            return t
+
+        rows = (load(x_lo_ref), load(x_hi_ref))
         g2 = g_ref[0, 0].reshape(h_t * w_t, g_ref.shape[-1])
         si = 0
         for sz in range(2):
@@ -1176,16 +1215,18 @@ def blocked_conv_a2o_dw(xs: jnp.ndarray, g: jnp.ndarray,
     cout8 = g.shape[-1]
     h_t, w_t = g.shape[2], g.shape[3]
     w_in = _pad8(w_t + 1)
-    xp = _halo_pad(xs, w_in)
+    vmem_halo = _a2o_vmem_halo()
+    xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
+    h_slab, w_slab = (h2, w2) if vmem_halo else (h2 + 2, w_in)
 
     return pl.pallas_call(
-        _make_dw8_kernel(h_t, w_t),
+        _make_dw8_kernel(h_t, w_t, vmem_halo=vmem_halo, w_pad_to=w_in),
         grid=(bsz, d2 + 1),
         in_specs=[
-            pl.BlockSpec((1, 1, h2 + 2, w_in, c8),
+            pl.BlockSpec((1, 1, h_slab, w_slab, c8),
                          lambda b, z: (b, z, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2 + 2, w_in, c8),
+            pl.BlockSpec((1, 1, h_slab, w_slab, c8),
                          lambda b, z: (b, z + 1, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h_t, w_t, cout8),

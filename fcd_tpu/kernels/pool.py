@@ -22,23 +22,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _roll_tree(v: jnp.ndarray, c: int, op) -> jnp.ndarray:
+    """Reduce the 8 parity lane groups (width c) of v's last axis with a
+    3-step cyclic lane-rotation tree: every lane ends up holding the
+    reduction over all 8 groups, at full VPU width (the per-group lane
+    slices run at c/128 vector efficiency and dominated the old form)."""
+    for k in (c, 2 * c, 4 * c):
+        v = op(v, jnp.roll(v, k, axis=-1))
+    return v
+
+
 def _make_pool_bwd_kernel(c: int):
-    def kernel(xs_ref, m_ref, g_ref, dx_ref):
+    def kernel(xs_ref, g_ref, dx_ref):
         # compare in f32: Mosaic rejects bf16 cmpf on v5e; bf16 values
         # are exactly representable in f32 so the semantics are identical
         xs = xs_ref[0, 0].astype(jnp.float32)   # (h2, w2, 8c)
-        m = m_ref[0, 0].astype(jnp.float32)     # (h2, w2, c)
         gc = g_ref[0, 0].astype(jnp.float32)    # (h2, w2, c)
-        m128 = jnp.concatenate([m] * 8, axis=-1)
-        eq = xs == m128                         # full-lane compare
-        eqf = eq.astype(jnp.float32)
-        cnt = None
-        for i in range(8):
-            piece = eqf[..., i * c:(i + 1) * c]
-            cnt = piece if cnt is None else cnt + piece
-        scale = gc / cnt
-        scale128 = jnp.concatenate([scale] * 8, axis=-1)
-        dx = jnp.where(eq, scale128, jnp.zeros_like(scale128))
+        # the pooled max, recomputed in VMEM (cheaper than an extra DMA)
+        # and replicated to every lane by the rotation tree
+        m8 = _roll_tree(xs, c, jnp.maximum)
+        eq = xs == m8                           # full-lane compare
+        cnt = _roll_tree(eq.astype(jnp.float32), c, jnp.add)
+        g8 = jnp.concatenate([gc] * 8, axis=-1)
+        dx = jnp.where(eq, g8 / cnt, jnp.zeros_like(cnt))
         dx_ref[0, 0] = dx.astype(dx_ref.dtype)
 
     return kernel
@@ -54,12 +60,12 @@ def pool_bwd_pallas(xs: jnp.ndarray, m: jnp.ndarray, g: jnp.ndarray,
     def row(bb, z):
         return (bb, z, 0, 0, 0)
 
+    del m  # recomputed in VMEM by the kernel (cheaper than the DMA)
     return pl.pallas_call(
         _make_pool_bwd_kernel(c),
         grid=(b, d2),
         in_specs=[
             pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, h2, w2, c8), row,
@@ -68,7 +74,7 @@ def pool_bwd_pallas(xs: jnp.ndarray, m: jnp.ndarray, g: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xs, m, g.astype(jnp.float32))
+    )(xs, g.astype(jnp.float32))
 
 
 def pool_bwd_supported(h2: int, w2: int, c: int) -> bool:
@@ -76,3 +82,47 @@ def pool_bwd_supported(h2: int, w2: int, c: int) -> bool:
     slab = h2 * max(w2, 8) * max(c8, 128) * 2
     small = h2 * max(w2, 8) * max(c, 128) * 4
     return 2 * (2 * slab) + 2 * 2 * small + 4 * slab < 80 * 1024 * 1024
+
+
+def _make_pool_fwd_kernel(c: int):
+    def kernel(xs_ref, m_ref):
+        # max in f32 (Mosaic rejects bf16 cmpf on v5e); exact for bf16
+        m8 = _roll_tree(xs_ref[0, 0].astype(jnp.float32), c, jnp.maximum)
+        m_ref[0, 0] = m8[..., :c].astype(m_ref.dtype)
+
+    return kernel
+
+
+def pool_fwd_pallas(xs: jnp.ndarray, c: int, *,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Forward of the s2d-exit max pool: max over the 8 parity lane groups
+    via the full-lane rotation tree. XLA's slice-maximum fusion lowers the
+    c-wide lane slices at c/128 vector efficiency (~3.3 ms at the level-1
+    train shape; this kernel is one read + one write per row).
+    (B, d2, h2, w2, 8c) -> (B, d2, h2, w2, c), bit-identical to
+    s2d_ops._pool_max."""
+    b, d2, h2, w2, c8 = xs.shape
+
+    def row(bb, z):
+        return (bb, z, 0, 0, 0)
+
+    return pl.pallas_call(
+        _make_pool_fwd_kernel(c),
+        grid=(b, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h2, w2, c), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d2, h2, w2, c), xs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xs)
+
+
+def pool_fwd_supported(h2: int, w2: int, c: int) -> bool:
+    c8 = 8 * c
+    slab = h2 * max(w2, 8) * max(c8, 128) * 2
+    small = h2 * max(w2, 8) * max(c, 128) * 2
+    return 2 * (slab + small) + 2 * slab < 80 * 1024 * 1024

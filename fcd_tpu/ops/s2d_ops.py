@@ -197,6 +197,14 @@ def max_pool_2x_s2d_exit(xs: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _pool_max(xs, c):
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("FCD_POOL_FWD_KERNEL", "1") != "0"):
+        from fcd_tpu.kernels.pool import pool_fwd_pallas, pool_fwd_supported
+
+        if pool_fwd_supported(xs.shape[2], xs.shape[3], c):
+            return pool_fwd_pallas(xs, c)
     m = xs[..., :c]
     for g in range(1, 8):
         m = jnp.maximum(m, xs[..., g * c:(g + 1) * c])
@@ -317,10 +325,13 @@ def _conv8_a2o_bwd(out_dtype, res, g):
         wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
         wab = make_blocked_weights_8tap(
             wadj.astype(jnp.float32)).astype(jnp.bfloat16)
+        # emit dx in the cotangent dtype directly: the kernel accumulates
+        # in f32 and rounds on store, identical to storing f32 and casting
+        # (which paid a doubled write + a separate cast pass, ~2 ms/step)
         dx = blocked_conv_o2a(gm, wab, w2, want_stats=False,
-                              out_dtype=jnp.float32,
+                              out_dtype=x.dtype,
                               interpret=_interp())[0]
-        dxs.append(dx.astype(x.dtype))
+        dxs.append(dx)
         dwblk = blocked_conv_a2o_dw(x.astype(jnp.bfloat16), gm, _interp())
         dws.append(unblock_dw8(dwblk, w.shape[3], w.shape[4]).astype(w.dtype))
     return tuple(dxs), tuple(dws)
@@ -367,7 +378,7 @@ def _conv8_o2a_bwd(aligned_w, out_dtype, res, g):
     wab = make_blocked_weights_8tap(
         wadj.astype(jnp.float32)).astype(jnp.bfloat16)
     gb = g.astype(jnp.bfloat16)
-    dy = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=jnp.float32,
+    dy = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=ys.dtype,
                           interpret=_interp())[0]
     dwblk = blocked_conv_o2a_dw(ys.astype(jnp.bfloat16), gb, aligned_w,
                                 _interp())

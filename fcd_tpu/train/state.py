@@ -69,6 +69,7 @@ def make_train_step(
     donate: bool = True,
     wrap_jit: bool = True,
     s2d_loss: bool = False,
+    s2d_input: bool = False,
 ) -> Callable:
     """Build the train step (jitted unless wrap_jit=False, e.g. when the
     caller jits with explicit mesh shardings):
@@ -81,7 +82,22 @@ def make_train_step(
     backward adjoint) never happens; loss_fn must then be the s2d
     variant (make_combined_loss(params, s2d=True)). Same math (voxel
     sums reassociated).
+
+    With s2d_input the jit wrapper additionally casts + space-to-depth's
+    the IMAGE in its own tiny jit and the model consumes x_is_s2d
+    patches: inside the step program XLA relayouts the raw image
+    parameter around the entry transform (~5 ms/step at batch 4x128^3,
+    profile_train_step copy.6981/6982/6984); decoupled it compiles to
+    the cheap form — the same layout-domain lesson as _label_s2d_jit.
+    Requires wrap_jit (the mesh path shards the raw image; keep its
+    entry in-step). s2d is a pure permutation, so numerics are
+    bit-identical to the in-step entry.
     """
+    assert not (s2d_input and not wrap_jit)
+    import os as _os
+
+    if s2d_input and _os.environ.get("FCD_IMAGE_PREJIT", "1") == "0":
+        s2d_input = False
 
     def step_fn(state: TrainState, image, label, lr, rng, thickness=None):
         def compute_loss(p):
@@ -92,6 +108,7 @@ def make_train_step(
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
                 **({"emit_s2d_logits": True} if s2d_loss else {}),
+                **({"x_is_s2d": True} if s2d_input else {}),
             )
             vae_loss = 0.0
             if model_returns_vaeloss:
@@ -127,17 +144,24 @@ def make_train_step(
     jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
     import os
 
-    if not s2d_loss or os.environ.get("FCD_LABEL_PREJIT", "1") == "0":
+    pre_label = s2d_loss and os.environ.get("FCD_LABEL_PREJIT", "1") != "0"
+    pre_image = s2d_input
+    if not (pre_label or pre_image):
         return jitted
 
-    # label s2d as its OWN jit: inside the step program XLA assigns the
-    # one-hot-conv transform transfer-oriented T(1,128)/T(4,128) layouts
-    # and relayouts the label parameter (profile_train_step: ~8 ms of a
-    # 186 ms step); decoupled, it compiles to the cheap form — the same
-    # layout-domain lesson as sliding_window._entry_s2d
+    # label/image s2d as their OWN jits: inside the step program XLA
+    # assigns the one-hot-conv transform transfer-oriented
+    # T(1,128)/T(4,128) layouts and relayouts the parameters
+    # (profile_train_step: ~8 ms labels + ~5 ms image of a 186 ms step);
+    # decoupled, they compile to the cheap form — the same layout-domain
+    # lesson as sliding_window._entry_s2d
+    dtype = getattr(model, "dtype", None)
+
     def wrapped(state, image, label, lr, rng, thickness=None):
-        tgt = _label_s2d_jit(label) if label.shape[-1] == 1 else label
-        return jitted(state, image, tgt, lr, rng, thickness)
+        tgt = (_label_s2d_jit(label)
+               if pre_label and label.shape[-1] == 1 else label)
+        img = _image_s2d_jit(image, dtype) if pre_image else image
+        return jitted(state, img, tgt, lr, rng, thickness)
 
     return wrapped
 
@@ -152,6 +176,17 @@ def _label_s2d(label):
 @jax.jit
 def _label_s2d_jit(label):
     return _label_s2d(label)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _image_s2d_jit(image, dtype):
+    """(B, D, H, W, C) image -> compute-dtype (B, D/2, H/2, W/2, 8C) s2d,
+    in its own jit (see make_train_step's s2d_input)."""
+    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+
+    if dtype is not None:
+        image = image.astype(dtype)
+    return space_to_depth_fast(image)
 
 
 def make_eval_fn(model, *, model_returns_vaeloss: bool = False,

@@ -93,6 +93,25 @@ class ModelTrainer:
         train_loss = (make_combined_loss(self.params, s2d=True)
                       if self._use_s2d_loss else self.loss_fn)
 
+        # training-input fast path: cast + s2d the image in its own jit and
+        # feed the model x_is_s2d patches (the in-step entry pays ~5 ms of
+        # parameter relayouts at batch 4x128^3 — see make_train_step). Gate
+        # mirrors the model's own level-1 s2d eligibility (ms_dsa_net.py
+        # use_s2d1); if the model declines anyway, its from_s2d fallback
+        # keeps numerics identical.
+        self._use_s2d_input = False
+        if self._use_s2d_loss and getattr(self.model, "res_block", False) \
+                and getattr(self.model, "upsample_mode", None) is None:
+            from fcd_tpu.ops.blocks import _s2d_block_eligible
+
+            ps = self.params["patch_size"]
+            full = tuple(ps) if isinstance(ps, (tuple, list)) else (ps,) * 3
+            self._use_s2d_input = _s2d_block_eligible(
+                full, self.params["chans_in"], self.params["feature_size"],
+                3, 1, getattr(self.model, "norm_name", "instance"),
+                getattr(self.model, "act_name", "leakyrelu"),
+                getattr(self.model, "dtype", None))
+
         # Device mesh (params['mesh_data'] / --devices, -1 = all): when more
         # than one device is in play, training runs the NamedSharding-jitted
         # DP step (batch over 'data', state replicated, XLA psum over ICI)
@@ -119,7 +138,8 @@ class ModelTrainer:
             self.state = replicate_state(self.state, self.mesh)
         else:
             self.train_step = make_train_step(
-                self.model, train_loss, self.tx, **step_kwargs
+                self.model, train_loss, self.tx,
+                s2d_input=self._use_s2d_input, **step_kwargs
             )
         self.predict = make_eval_fn(
             self.model, model_returns_vaeloss=self.params["model_returns_vaeloss"]

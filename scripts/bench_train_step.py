@@ -35,8 +35,13 @@ def main(batch=4, n=8):
     use_s2d = (jax.default_backend() == "tpu"
                and getattr(model, "supports_s2d_input", False)
                and s2d_loss_supported(params))
+    from fcd_tpu.ops.blocks import _s2d_block_eligible
+
+    use_s2d_in = use_s2d and _s2d_block_eligible(
+        (128, 128, 128), 2, params["feature_size"], 3, 1,
+        model.norm_name, model.act_name, model.dtype)
     loss_fn = make_combined_loss(params, s2d=use_s2d)
-    step = make_train_step(model, loss_fn, tx, donate=True, s2d_loss=use_s2d)
+    step = make_train_step(model, loss_fn, tx, donate=True, s2d_loss=use_s2d, s2d_input=use_s2d_in)
     print(f"s2d loss path: {use_s2d}", flush=True)
 
     rng = np.random.RandomState(0)
