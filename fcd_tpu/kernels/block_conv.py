@@ -631,7 +631,7 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         want_res_stats: bool = False,
                         paired: bool = False, vmem_halo: bool = False,
                         w_pad_to: int = 0, carry: bool = False,
-                        vpair: bool = False):
+                        vpair: bool = False, kd: int = 1):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -683,6 +683,12 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
     # runs on the raw slab BEFORE pairing (unpaired masks).
     assert not (paired and vpair)
     assert not (carry and vpair)
+    # kd: output depth rows per program — the kd+1 fetched rows serve kd
+    # outputs (row r is both x_hi of output r-1 and x_lo of output r), so
+    # the per-kernel input DMA drops from 2 to (kd+1)/kd fetches per row.
+    # The big a2o kernels are DMA-bound (dec1: 546 MB fetched for 273 MB
+    # of data vs a 0.45 ms compute floor). kd must divide d_out.
+    assert not (carry and kd != 1)
     assert n_inputs == 1 or variant == "a2o"
     want_res = res_hw is not None
     assert not (want_res and variant != "a2o")
@@ -727,10 +733,11 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
             else:
                 in_keep = _parity_lane_masks(h_in, w_in, c8, h_last, w_last)
                 pz_in = _pz_lanes(h_in, w_in, c8)
-            n_z_in = n_z + 1
+            n_z_in = n_z * kd + 1
 
-        def load(ref, s):
-            t = ref[0, 0]
+        def load(ref, jb, r):
+            # ref row jb within its block; r = absolute input depth row
+            t = ref[0, jb]
             if vmem_halo:
                 t = jnp.pad(
                     t, ((1, 1), (1, w_pad_to - 1 - t.shape[1]), (0, 0)))
@@ -740,7 +747,6 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                     t = jnp.where(t >= 0, t, neg_slope * t)
                 if variant == "o2a":
                     # re-zero the offset tensor's pad slots after the affine
-                    r = z + s
                     keep = in_keep & ((r > 0) | (pz_in == 1)) & (
                         (r < n_z_in - 1) | (pz_in == 0))
                     t = jnp.where(keep, t, jnp.zeros_like(t))
@@ -750,8 +756,8 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 t = jnp.concatenate([t, sh], axis=-1)
             return t
 
-        acc = None
-        racc = None
+        accs = [None] * kd
+        raccs = [None] * kd
         for ti, trip in enumerate(triples):
             if carry:
                 x_hi_ref, w_ref = trip[:2]
@@ -761,60 +767,72 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 def _(scr=scr):
                     scr[...] = jnp.zeros_like(scr)
 
-                rows = (scr[...], load(x_hi_ref, 1))
+                rows_list = [scr[...], load(x_hi_ref, 0, z + 1)]
             else:
-                x_lo_ref, x_hi_ref, w_ref = trip[:3]
-                rows = (load(x_lo_ref, 0), load(x_hi_ref, 1))
-            tap = 0
-            for sz in range(2):
-                base = rows[sz]
-                for sy in range(2):
-                    su = base[sy:sy + h_out]
+                x_blk_ref, x_last_ref, w_ref = trip[:3]
+                rows_list = [load(x_blk_ref, j, z * kd + j)
+                             for j in range(kd)]
+                rows_list.append(load(x_last_ref, 0, z * kd + kd))
+            for j in range(kd):
+                rows = (rows_list[j], rows_list[j + 1])
+                acc = accs[j]
+                tap = 0
+                for sz in range(2):
+                    base = rows[sz]
+                    for sy in range(2):
+                        su = base[sy:sy + h_out]
+                        if paired or vpair:
+                            # sx lives in the lane halves: one aligned GEMM
+                            # with a doubled contraction covers both W taps
+                            sl = su[:, 0:w_out, :]
+                            d = jax.lax.dot_general(
+                                sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            acc = d if acc is None else acc + d
+                            tap += 1
+                            continue
+                        for sx in range(2):
+                            sl = su[:, sx:sx + w_out, :]
+                            d = jax.lax.dot_general(
+                                sl, w_ref[tap], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            acc = d if acc is None else acc + d
+                            tap += 1
+                accs[j] = acc
+                if want_res:
+                    rh, rw = res_hw
+                    # rows[1] IS aligned depth-row z*kd+j (interior of the
+                    # H/W halo); paired: W position u+1 is the second lane
+                    # half at u
                     if paired or vpair:
-                        # sx lives in the lane halves: one aligned GEMM
-                        # with a doubled contraction covers both W taps
-                        sl = su[:, 0:w_out, :]
-                        d = jax.lax.dot_general(
-                            sl, w_ref[tap], (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        acc = d if acc is None else acc + d
-                        tap += 1
-                        continue
-                    for sx in range(2):
-                        sl = su[:, sx:sx + w_out, :]
-                        d = jax.lax.dot_general(
-                            sl, w_ref[tap], (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        acc = d if acc is None else acc + d
-                        tap += 1
-            if want_res:
-                rh, rw = res_hw
-                # x_hi IS aligned depth-row z (interior of the H/W halo);
-                # paired: W position u+1 is the second lane half at u
-                if paired or vpair:
-                    ch = rows[1].shape[-1] // 2
-                    rsl = rows[1][1:1 + rh, 0:rw, ch:]
-                else:
-                    rsl = rows[1][1:1 + rh, 1:1 + rw, :]
-                rd = jax.lax.dot_general(
-                    rsl, trip[-1][0], (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                racc = rd if racc is None else racc + rd
+                        ch = rows[1].shape[-1] // 2
+                        rsl = rows[1][1:1 + rh, 0:rw, ch:]
+                    else:
+                        rsl = rows[1][1:1 + rh, 1:1 + rw, :]
+                    rd = jax.lax.dot_general(
+                        rsl, trip[-1][0], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    raccs[j] = rd if raccs[j] is None else raccs[j] + rd
             if carry:
-                scr[...] = rows[1]
+                scr[...] = rows_list[1]
 
         if variant == "a2o":
             # zero the offset output's pad-slot lanes (voxels -1 / N per
             # axis) so downstream reads and the stats see exact zeros
             cout8 = out_ref.shape[-1]
-            keep = _parity_lane_masks(h_out, w_out, cout8, h_last, w_last)
+            keep0 = _parity_lane_masks(h_out, w_out, cout8, h_last, w_last)
             pz = _pz_lanes(h_out, w_out, cout8)
-            keep &= ((z > 0) | (pz == 1)) & ((z < n_z - 1) | (pz == 0))
-            acc = jnp.where(keep, acc, jnp.zeros_like(acc))
-        out_ref[0, 0] = acc.astype(out_ref.dtype)
+            d_tot = n_z * kd
+            for j in range(kd):
+                r = z * kd + j
+                keep = keep0 & ((r > 0) | (pz == 1)) & (
+                    (r < d_tot - 1) | (pz == 0))
+                accs[j] = jnp.where(keep, accs[j], jnp.zeros_like(accs[j]))
+        for j in range(kd):
+            out_ref[0, j] = accs[j].astype(out_ref.dtype)
 
         if want_stats:
             @pl.when(z == 0)
@@ -822,23 +840,29 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                 ysum_ref[...] = jnp.zeros_like(ysum_ref)
                 ysq_ref[...] = jnp.zeros_like(ysq_ref)
 
-            ysum_ref[0] += jnp.sum(acc, axis=(0, 1), keepdims=True)[0]
-            ysq_ref[0] += jnp.sum(jnp.square(acc), axis=(0, 1),
-                                  keepdims=True)[0]
+            ysum = sum(jnp.sum(a, axis=(0, 1), keepdims=True)[0]
+                       for a in accs)
+            ysq = sum(jnp.sum(jnp.square(a), axis=(0, 1), keepdims=True)[0]
+                      for a in accs)
+            ysum_ref[0] += ysum
+            ysq_ref[0] += ysq
 
         if want_res:
-            res_ref[0, 0] = racc.astype(res_ref.dtype)
+            for j in range(kd):
+                res_ref[0, j] = raccs[j].astype(res_ref.dtype)
             if want_res_stats:
-                # the last grid step's racc computes from the zero depth
-                # halo — exact zeros, so it contributes nothing to the sums
+                # rows computed from the zero depth halo are exact zeros,
+                # so they contribute nothing to the sums
                 @pl.when(z == 0)
                 def _():
                     rsum_ref[...] = jnp.zeros_like(rsum_ref)
                     rsq_ref[...] = jnp.zeros_like(rsq_ref)
 
-                rsum_ref[0] += jnp.sum(racc, axis=(0, 1), keepdims=True)[0]
-                rsq_ref[0] += jnp.sum(jnp.square(racc), axis=(0, 1),
-                                      keepdims=True)[0]
+                rsum_ref[0] += sum(jnp.sum(r, axis=(0, 1), keepdims=True)[0]
+                                   for r in raccs)
+                rsq_ref[0] += sum(
+                    jnp.sum(jnp.square(r), axis=(0, 1), keepdims=True)[0]
+                    for r in raccs)
 
     return kernel
 
@@ -847,7 +871,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
                  interpret, res_wblks=None, res_hw=None,
                  want_res_stats=False, paired=False, vmem_halo=False,
-                 w_pad_to=0, carry=False, vpair=False):
+                 w_pad_to=0, carry=False, vpair=False, kd=1):
     xps = xp if isinstance(xp, (list, tuple)) else [xp]
     wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
     assert len(xps) == len(wblks)
@@ -858,12 +882,16 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
     h_in, w_in = xps[0].shape[2], xps[0].shape[3]
 
     # both variants read input rows z, z+1 — affine maps keep Mosaic's
-    # double-buffered pipeline (clamped maps serialized the HBM fetches)
+    # double-buffered pipeline (clamped maps serialized the HBM fetches).
+    # With kd > 1 the block fetch covers rows kd*z..kd*z+kd-1 and `last`
+    # fetches row kd*z+kd (kd+1 rows serving kd outputs).
+    assert d_out % kd == 0
+
     def lo(b, z):
         return (b, z, 0, 0, 0)
 
     def hi(b, z):
-        return (b, z + 1, 0, 0, 0)
+        return (b, kd * z + kd, 0, 0, 0)
 
     in_specs = []
     inputs = []
@@ -880,7 +908,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
             scratch_shapes.append(pltpu.VMEM(slab, xpi.dtype))
         else:
             in_specs += [
-                pl.BlockSpec((1, 1, h_in, w_in, c8i), lo,
+                pl.BlockSpec((1, kd, h_in, w_in, c8i), lo,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, h_in, w_in, c8i), hi,
                              memory_space=pltpu.VMEM),
@@ -904,7 +932,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                                          memory_space=pltpu.VMEM))
             inputs.append(arr.reshape(bsz, 1, c8).astype(jnp.float32))
 
-    out_specs = [pl.BlockSpec((1, 1, h_out, w_out, cout8),
+    out_specs = [pl.BlockSpec((1, kd, h_out, w_out, cout8),
                               lambda b, z: (b, z, 0, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((bsz, d_out, h_out, w_out, cout8),
@@ -917,7 +945,7 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
     if want_res:
         rh, rw = res_hw
         rcout8 = res_wblks[0].shape[-1]
-        out_specs.append(pl.BlockSpec((1, 1, rh, rw, rcout8),
+        out_specs.append(pl.BlockSpec((1, kd, rh, rw, rcout8),
                                       lambda b, z: (b, z, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((bsz, d_out, rh, rw, rcout8),
@@ -937,8 +965,8 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                             res_hw=res_hw if want_res else None,
                             want_res_stats=want_res_stats, paired=paired,
                             vmem_halo=vmem_halo, w_pad_to=w_pad_to,
-                            carry=carry, vpair=vpair),
-        grid=(bsz, d_out),
+                            carry=carry, vpair=vpair, kd=kd),
+        grid=(bsz, d_out // kd),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -954,6 +982,32 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
 
 def _pad8(v: int) -> int:
     return (v + 7) // 8 * 8
+
+
+def _pick_kd(d_out, n_parts, h_in, w_in, c8_max, h_out, w_out, cout8,
+             *, vmem_halo, w_pad_to, vpair=False, want_res=False) -> int:
+    """Largest kd in {5,4,3,2} dividing d_out whose working set fits VMEM
+    (FCD_CONV8_KD=0 disables). kd outputs per program share their fetched
+    input rows, cutting kernel input DMA from 2 to (kd+1)/kd per row."""
+    import os
+
+    if os.environ.get("FCD_CONV8_KD", "1") == "0":
+        return 1
+    hp = h_in + 2 if vmem_halo else h_in
+    wp = w_pad_to if vmem_halo else w_in
+    slab = hp * max(wp, 8) * max(c8_max, 128) * 2
+    if vpair:
+        slab *= 2
+    acc = h_out * max(w_out, 8) * max(cout8, 128) * 4
+    out_blk = h_out * max(w_out, 8) * max(cout8, 128) * 2
+    for k in (5, 4, 3, 2):
+        if d_out % k:
+            continue
+        need = (n_parts * (k + 1) * slab * 2 + k * acc
+                + 2 * k * out_blk * (2 if want_res else 1))
+        if need < 64 * 1024 * 1024:
+            return k
+    return 1
 
 
 def _a2o_vmem_halo() -> bool:
@@ -1075,12 +1129,16 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
         xp = pair_w_lanes(xp)
     if paired or vpair:
         wblk8 = pair_blocked_weights_8tap(wblk8)
+    kd = _pick_kd(d2 + 1, 1, xp.shape[2], xp.shape[3], xp.shape[-1],
+                  h2 + 1, w_out, wblk8.shape[-1],
+                  vmem_halo=vmem_halo, w_pad_to=w_in, vpair=vpair)
     return _fused8_call(
         xp, wblk8, variant="a2o", d_out=d2 + 1, h_out=h2 + 1, w_out=w_out,
         h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
         want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
         paired=paired, vmem_halo=vmem_halo, w_pad_to=w_in,
-        carry=_a2o_carry() and not (paired or vpair), vpair=vpair,
+        carry=_a2o_carry() and not (paired or vpair) and kd == 1,
+        vpair=vpair, kd=kd,
     )
 
 
@@ -1115,6 +1173,10 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
         xps = [pair_w_lanes(x) for x in xps]
     if paired or vpair:
         wblks = [pair_blocked_weights_8tap(w) for w in wblks]
+    kd = _pick_kd(d2 + 1, len(xps), xps[0].shape[2], xps[0].shape[3],
+                  max(x.shape[-1] for x in xps), h2 + 1, w_out,
+                  wblks[0].shape[-1], vmem_halo=vmem_halo, w_pad_to=w_in,
+                  vpair=vpair, want_res=res_wblk_list is not None)
     return _fused8_call(
         xps, wblks, variant="a2o", d_out=d2 + 1, h_out=h2 + 1,
         w_out=w_out, h_last=h2, w_last=w2, in_scale=None, in_shift=None,
@@ -1124,7 +1186,8 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
         res_hw=None if res_wblk_list is None else (h2, w2),
         want_res_stats=want_res_stats, paired=paired,
         vmem_halo=vmem_halo, w_pad_to=w_in,
-        carry=_a2o_carry() and not (paired or vpair), vpair=vpair,
+        carry=_a2o_carry() and not (paired or vpair) and kd == 1,
+        vpair=vpair, kd=kd,
     )
 
 
@@ -1152,11 +1215,14 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
             in_shift = jnp.concatenate([in_shift, in_shift], axis=-1)
     if paired or vpair:
         wblk8 = pair_blocked_weights_8tap(wblk8)
+    kd = _pick_kd(d2, 1, ys.shape[2], ys.shape[3], ys.shape[-1],
+                  h2, w2, wblk8.shape[-1], vmem_halo=False,
+                  w_pad_to=0, vpair=vpair)
     return _fused8_call(
         ys, wblk8, variant="o2a", d_out=d2, h_out=h2, w_out=w2,
         h_last=h2, w_last=w2, in_scale=in_scale, in_shift=in_shift,
         neg_slope=neg_slope, want_stats=want_stats, out_dtype=out_dtype,
-        interpret=interpret, paired=paired, vpair=vpair,
+        interpret=interpret, paired=paired, vpair=vpair, kd=kd,
     )
 
 
