@@ -109,6 +109,13 @@ def get_default_params() -> Dict[str, Any]:
     # Device mesh: data-parallel axis size (-1: all devices)
     params['mesh_data'] = -1
     params['donate_buffers'] = True
+    # Ragged global batches (batch % mesh != 0): 'pad' keeps the mesh via
+    # pad-and-mask (exact loss; see losses sample_mask), 'replicate' runs
+    # the exact single-program fallback on every device
+    params['ragged_dp'] = 'pad'
+    # wandb.watch analogue: per-layer-group param/grad L2 norms in the
+    # epoch CSV/wandb row (gnorm_*/pnorm_* columns)
+    params['log_layer_norms'] = False
 
     return params
 

@@ -52,10 +52,11 @@ def get_main_loss(params: Dict[str, Any]) -> Optional[LossFn]:
         )
         l_dice, l_ce = params["lambda_dice"], params["lambda_ce"]
 
-        def dice_ce(pred, target):
-            return l_dice * d(pred, target) + l_ce * cross_entropy_loss(
-                pred, target, weight=weight
-            )
+        def dice_ce(pred, target, sample_mask=None):
+            return l_dice * d(pred, target, sample_mask=sample_mask) + \
+                l_ce * cross_entropy_loss(
+                    pred, target, weight=weight, sample_mask=sample_mask
+                )
 
         return dice_ce
 
@@ -73,8 +74,9 @@ def get_main_loss(params: Dict[str, Any]) -> Optional[LossFn]:
         )
         l_dice, l_focal = params["lambda_dice"], params["lambda_focal"]
 
-        def dice_focal(pred, target):
-            return l_dice * d(pred, target) + l_focal * f(pred, target)
+        def dice_focal(pred, target, sample_mask=None):
+            return (l_dice * d(pred, target, sample_mask=sample_mask)
+                    + l_focal * f(pred, target, sample_mask=sample_mask))
 
         return dice_focal
 
@@ -108,8 +110,9 @@ def get_main_loss(params: Dict[str, Any]) -> Optional[LossFn]:
         )
         l_g, l_focal = params["lambda_dice"], params["lambda_focal"]
 
-        def gdice_focal(pred, target):
-            return l_g * g(pred, target) + l_focal * f(pred, target)
+        def gdice_focal(pred, target, sample_mask=None):
+            return (l_g * g(pred, target, sample_mask=sample_mask)
+                    + l_focal * f(pred, target, sample_mask=sample_mask))
 
         return gdice_focal
 
@@ -147,10 +150,10 @@ def make_combined_loss(params: Dict[str, Any], s2d: bool = False) -> LossFn:
         if not s2d_loss_supported(params):
             raise ValueError("s2d loss requires s2d_loss_supported(params)")
 
-        def s2d_loss_fn(pred, target, thickness_map=None):
+        def s2d_loss_fn(pred, target, thickness_map=None, sample_mask=None):
             b, d2, h2, w2, c8 = pred.shape
             return main(pred.reshape(b, d2, h2, w2, 8, c8 // 8),
-                        target[..., None])
+                        target[..., None], sample_mask=sample_mask)
 
         return s2d_loss_fn
     tv_w = params.get("tv_loss_weight", 0.0)
@@ -160,19 +163,23 @@ def make_combined_loss(params: Dict[str, Any], s2d: bool = False) -> LossFn:
     tv_excl = params.get("tvloss_exclude_borders", False)
     sigmoid, softmax = params["sigmoid"], params["softmax"]
 
-    def loss_fn(pred, target, thickness_map=None):
+    def loss_fn(pred, target, thickness_map=None, sample_mask=None):
+        # sample_mask (B,): 0/1 validity weights for ragged-batch DP
+        # pad-and-mask — every term excludes padded samples exactly
         total = 0.0
         if main is not None:
-            total = total + main(pred, target)
+            total = total + main(pred, target, sample_mask=sample_mask)
         if tv_w > 0:
             total = total + tv_w * total_variation_loss(
                 pred, target, norm=tv_norm, sigmoid=sigmoid, softmax=softmax,
-                exclude_borders=tv_excl,
+                exclude_borders=tv_excl, sample_mask=sample_mask,
             )
         if b_w > 0:
-            total = total + b_w * boundary_loss(pred, target)
+            total = total + b_w * boundary_loss(pred, target,
+                                                sample_mask=sample_mask)
         if ca_w > 0 and thickness_map is not None:
-            total = total + ca_w * cortical_boundary_loss(pred, thickness_map)
+            total = total + ca_w * cortical_boundary_loss(
+                pred, thickness_map, sample_mask=sample_mask)
         return total
 
     return loss_fn

@@ -22,6 +22,29 @@ def one_hot(target: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     return jax.nn.one_hot(idx, num_classes, dtype=jnp.float32)
 
 
+def _mask_cols(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """(B,) validity mask -> broadcastable (B, 1, ..., 1) float32."""
+    return mask.astype(jnp.float32).reshape(mask.shape[0],
+                                            *([1] * (ndim - 1)))
+
+
+def _masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over valid samples only: batch axis 0 weighted by mask, all
+    other axes averaged normally (== jnp.mean(x) when mask is None)."""
+    if mask is None:
+        return jnp.mean(x)
+    m = _mask_cols(mask, x.ndim)
+    denom = jnp.maximum(jnp.sum(m), 1.0) * float(np_prod(x.shape[1:]))
+    return jnp.sum(x * m) / denom
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 def _prepare(pred, target, *, sigmoid, softmax, to_onehot_y, include_background):
     n_ch = pred.shape[-1]
     if sigmoid:
@@ -49,12 +72,21 @@ def dice_loss(
     batch: bool = True,
     smooth_nr: float = 1e-5,
     smooth_dr: float = 1e-5,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """MONAI DiceLoss parity (reference default loss, get_loss.py:56-57)."""
+    """MONAI DiceLoss parity (reference default loss, get_loss.py:56-57).
+
+    sample_mask: optional (B,) 0/1 validity weights (ragged-batch DP
+    pad-and-mask). With batch=True the pooled sums then exclude padded
+    samples exactly; with batch=False the per-sample scores are
+    mask-weighted in the final mean."""
     pred, target = _prepare(
         pred, target, sigmoid=sigmoid, softmax=softmax,
         to_onehot_y=to_onehot_y, include_background=include_background,
     )
+    if sample_mask is not None and batch:
+        m = _mask_cols(sample_mask, pred.ndim)
+        pred, target = pred * m, target * m
     reduce_axes = tuple(range(1, pred.ndim - 1))
     if batch:
         reduce_axes = (0,) + reduce_axes
@@ -70,6 +102,8 @@ def dice_loss(
     if jaccard:
         denominator = 2.0 * (denominator - intersection)
     f = 1.0 - (2.0 * intersection + smooth_nr) / (denominator + smooth_dr)
+    if not batch and sample_mask is not None:
+        return _masked_mean(f, sample_mask)
     return jnp.mean(f)
 
 
@@ -78,9 +112,11 @@ def cross_entropy_loss(
     target: jnp.ndarray,
     *,
     weight: Optional[jnp.ndarray] = None,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch.nn.CrossEntropyLoss parity on logits: weighted mean
-    sum(w[y]*ce)/sum(w[y]) (the CE term of DiceCELoss, get_loss.py:58-69)."""
+    sum(w[y]*ce)/sum(w[y]) (the CE term of DiceCELoss, get_loss.py:58-69).
+    sample_mask (B,): padded samples get weight 0 (exact masked mean)."""
     n_ch = pred.shape[-1]
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
     if target.shape[-1] == n_ch and n_ch > 1:
@@ -94,7 +130,11 @@ def cross_entropy_loss(
     picked = jnp.sum(logp * oh, axis=-1)
     if weight is not None:
         w = jnp.sum(jnp.asarray(weight, jnp.float32) * oh, axis=-1)
+        if sample_mask is not None:
+            w = w * _mask_cols(sample_mask, w.ndim)
         return -jnp.sum(w * picked) / jnp.maximum(jnp.sum(w), 1e-12)
+    if sample_mask is not None:
+        return -_masked_mean(picked, sample_mask)
     return -jnp.mean(picked)
 
 
@@ -106,6 +146,7 @@ def focal_loss(
     include_background: bool = False,
     to_onehot_y: bool = True,
     use_softmax: bool = True,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """MONAI FocalLoss parity (the focal term of DiceFocalLoss,
     get_loss.py:70-78). Softmax form: mean over all voxels x channels of
@@ -131,7 +172,7 @@ def focal_loss(
         bce = jnp.maximum(predf, 0) - predf * target + jnp.log1p(jnp.exp(-jnp.abs(predf)))
         p_t = p * target + (1 - p) * (1 - target)
         loss = jnp.power(1.0 - p_t, gamma) * bce
-    return jnp.mean(loss)
+    return _masked_mean(loss, sample_mask)
 
 
 def generalized_dice_loss(
@@ -146,12 +187,16 @@ def generalized_dice_loss(
     batch: bool = True,
     smooth_nr: float = 1e-5,
     smooth_dr: float = 1e-5,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """MONAI GeneralizedDiceLoss parity (get_loss.py:79-84)."""
     pred, target = _prepare(
         pred, target, sigmoid=sigmoid, softmax=softmax,
         to_onehot_y=to_onehot_y, include_background=include_background,
     )
+    if sample_mask is not None and batch:
+        m = _mask_cols(sample_mask, pred.ndim)
+        pred, target = pred * m, target * m
     reduce_axes = tuple(range(1, pred.ndim - 1))
     if batch:
         reduce_axes = (0,) + reduce_axes
@@ -178,4 +223,6 @@ def generalized_dice_loss(
     reduce_dim = 0 if batch else 1
     numer = 2.0 * jnp.sum(intersection * w, axis=reduce_dim, keepdims=True) + smooth_nr
     denom = jnp.sum(denominator * w, axis=reduce_dim, keepdims=True) + smooth_dr
+    if not batch and sample_mask is not None:
+        return _masked_mean(1.0 - numer / denom, sample_mask)
     return jnp.mean(1.0 - numer / denom)

@@ -33,6 +33,18 @@ def dilate_mask(mask: jnp.ndarray, kernel_size: int = 3, iterations: int = 1) ->
     return out
 
 
+def _masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean weighting batch axis 0 by the (B,) validity mask (== jnp.mean
+    when mask is None) — ragged-batch DP pad-and-mask support."""
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(jnp.float32).reshape(mask.shape[0], *([1] * (x.ndim - 1)))
+    n_other = 1
+    for s in x.shape[1:]:
+        n_other *= int(s)
+    return jnp.sum(x * m) / (jnp.maximum(jnp.sum(m), 1.0) * n_other)
+
+
 def total_variation_loss(
     pred: jnp.ndarray,
     gt: Optional[jnp.ndarray] = None,
@@ -41,6 +53,7 @@ def total_variation_loss(
     sigmoid: bool = False,
     softmax: bool = True,
     exclude_borders: bool = True,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """3D TV loss on the FCD channel (get_loss.py:116-165)."""
     n_ch = pred.shape[-1]
@@ -64,8 +77,8 @@ def total_variation_loss(
         b = jax.lax.slice_in_dim(pred, 0, pred.shape[axis] - 1, axis=axis)
         d = a - b
         if norm == 1:
-            return jnp.mean(jnp.abs(d))
-        return jnp.sqrt(jnp.mean(jnp.square(d)) + 1e-10)
+            return _masked_mean(jnp.abs(d), sample_mask)
+        return jnp.sqrt(_masked_mean(jnp.square(d), sample_mask) + 1e-10)
 
     return tv_axis(1) + tv_axis(2) + tv_axis(3)
 
@@ -84,21 +97,27 @@ def _gradient(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.concatenate([first, interior, last], axis=axis)
 
 
-def boundary_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def boundary_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                  sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Gradient-matching boundary loss (get_loss.py:167-178)."""
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     total = 0.0
     for ax in _SPATIAL:
-        total = total + jnp.mean(jnp.abs(_gradient(pred, ax) - _gradient(target, ax)))
+        total = total + _masked_mean(
+            jnp.abs(_gradient(pred, ax) - _gradient(target, ax)), sample_mask)
     return total / 3.0
 
 
-def cortical_boundary_loss(pred: jnp.ndarray, thickness_map: jnp.ndarray) -> jnp.ndarray:
+def cortical_boundary_loss(pred: jnp.ndarray, thickness_map: jnp.ndarray,
+                           sample_mask: Optional[jnp.ndarray] = None,
+                           ) -> jnp.ndarray:
     """Cortical-thickness gradient consistency loss (get_loss.py:180-190)."""
     pred = pred.astype(jnp.float32)
     thickness_map = thickness_map.astype(jnp.float32)
     total = 0.0
     for ax in _SPATIAL:
-        total = total + jnp.mean(jnp.abs(_gradient(pred, ax) * _gradient(thickness_map, ax)))
+        total = total + _masked_mean(
+            jnp.abs(_gradient(pred, ax) * _gradient(thickness_map, ax)),
+            sample_mask)
     return total / 3.0

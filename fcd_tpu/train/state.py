@@ -70,11 +70,17 @@ def make_train_step(
     wrap_jit: bool = True,
     s2d_loss: bool = False,
     s2d_input: bool = False,
+    grad_norms: bool = False,
 ) -> Callable:
     """Build the train step (jitted unless wrap_jit=False, e.g. when the
     caller jits with explicit mesh shardings):
 
     (state, image, label, lr, rng[, thickness]) -> (state, loss)
+
+    With grad_norms=True the step returns (state, loss, norms) where
+    norms maps each top-level parameter group (module) to the global L2
+    norm of its gradients — the wandb.watch analogue (train.py:336),
+    computed in-step at negligible cost.
 
     With s2d_loss the model emits s2d logits (emit_s2d_logits=True) and
     the labels are space-to-depth'd once in-step, so the loss runs on
@@ -99,7 +105,13 @@ def make_train_step(
     if s2d_input and _os.environ.get("FCD_IMAGE_PREJIT", "1") == "0":
         s2d_input = False
 
-    def step_fn(state: TrainState, image, label, lr, rng, thickness=None):
+    def step_fn(state: TrainState, image, label, lr, rng, thickness=None,
+                sample_mask=None):
+        # sample_mask (B,): ragged-batch DP pad-and-mask — the loss
+        # excludes padded samples exactly (losses/combined.py). Caveats:
+        # train-mode batch-norm statistics and the VAE regularizer are
+        # batch means that still see padded samples (pads are cyclic
+        # repeats of real samples, so they stay in-distribution).
         def compute_loss(p):
             outputs, mutated = model.apply(
                 {"params": p, "batch_stats": state.batch_stats},
@@ -119,7 +131,9 @@ def make_train_step(
                 # (e.g. the mesh path); the jit wrapper below pre-s2d's
                 # them in a separate program instead
                 tgt = _label_s2d(label)
-            loss = loss_fn(outputs, tgt, thickness) + loss_vae_weight * (
+            main = (loss_fn(outputs, tgt, thickness) if sample_mask is None
+                    else loss_fn(outputs, tgt, thickness, sample_mask))
+            loss = main + loss_vae_weight * (
                 vae_loss if model_returns_vaeloss else 0.0
             )
             return loss, mutated["batch_stats"]
@@ -136,6 +150,8 @@ def make_train_step(
             opt_state=opt_state,
             step=state.step + 1,
         )
+        if grad_norms:
+            return new_state, loss, group_norms(grads)
         return new_state, loss
 
     if not wrap_jit:
@@ -157,13 +173,26 @@ def make_train_step(
     # lesson as sliding_window._entry_s2d
     dtype = getattr(model, "dtype", None)
 
-    def wrapped(state, image, label, lr, rng, thickness=None):
+    def wrapped(state, image, label, lr, rng, thickness=None,
+                sample_mask=None):
         tgt = (_label_s2d_jit(label)
                if pre_label and label.shape[-1] == 1 else label)
         img = _image_s2d_jit(image, dtype) if pre_image else image
-        return jitted(state, img, tgt, lr, rng, thickness)
+        return jitted(state, img, tgt, lr, rng, thickness, sample_mask)
 
     return wrapped
+
+
+def group_norms(tree) -> dict:
+    """Per-top-level-group global L2 norms of a parameter/gradient pytree
+    (the wandb.watch analogue, reference train.py:336). Jit-friendly:
+    returns {group_name: scalar}."""
+    out = {}
+    for key, sub in dict(tree).items():
+        leaves = jax.tree_util.tree_leaves(sub)
+        out[str(key)] = jnp.sqrt(
+            sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+    return out
 
 
 def _label_s2d(label):

@@ -117,11 +117,17 @@ class ModelTrainer:
         # DP step (batch over 'data', state replicated, XLA psum over ICI)
         # and inference shards the sliding-window patch grid (parallel/).
         self.mesh = self._build_mesh()
+        # opt-in per-layer-group param/grad norm logging (wandb.watch
+        # analogue, reference train.py:336): the step additionally returns
+        # {group: grad L2 norm}; log_metrics adds gnorm_*/pnorm_* columns
+        self._log_norms = bool(self.params.get("log_layer_norms", False))
+        self._last_grad_norms = None
         step_kwargs = dict(
             model_returns_vaeloss=self.params["model_returns_vaeloss"],
             loss_vae_weight=self.params.get("loss_vae_weight", 0.2),
             donate=self.params.get("donate_buffers", True),
             s2d_loss=self._use_s2d_loss,
+            grad_norms=self._log_norms,
         )
         if self.mesh is not None:
             from fcd_tpu.parallel.dp import make_dp_train_step, replicate_state
@@ -129,8 +135,15 @@ class ModelTrainer:
             self.train_step = make_dp_train_step(
                 self.model, train_loss, self.tx, self.mesh, **step_kwargs
             )
-            # exact-numerics fallback for a ragged final batch that does not
-            # divide over the mesh (replicated state works in a plain step)
+            # ragged batches (global batch % mesh != 0) keep the mesh via
+            # pad-and-mask: batch padded to the mesh multiple with cyclic
+            # repeats, loss weighted by a 0/1 validity mask (exact —
+            # losses/combined.py sample_mask). params['ragged_dp'] =
+            # 'replicate' restores the fully replicated exact fallback.
+            self._dp_mask_step = make_dp_train_step(
+                self.model, train_loss, self.tx, self.mesh,
+                **{**step_kwargs, "with_mask": True},
+            )
             self._ragged_step = make_train_step(
                 self.model, train_loss, self.tx,
                 **{**step_kwargs, "donate": False},
@@ -284,27 +297,70 @@ class ModelTrainer:
             return np.asarray(jax.nn.sigmoid(logits))
         return np.asarray(logits)
 
+    def _eval_finish_fn(self):
+        """Jitted per-volume eval epilogue: (logits, label) -> (loss,
+        uint8 binary prediction) — the loss and activation/threshold stay
+        on device so the host fetches a scalar + a uint8 volume (16x less
+        relay traffic than f32 logits)."""
+        if getattr(self, "_eval_finish", None) is None:
+            softmax = self.params.get("softmax", True)
+            sigmoid = self.params.get("sigmoid", False)
+            loss_fn = self.loss_fn
+
+            def finish(logits, label):
+                loss = loss_fn(logits[None], label[None])
+                probs = logits.astype(jnp.float32)
+                if softmax and logits.shape[-1] > 1:
+                    probs = jax.nn.softmax(probs, axis=-1)
+                elif sigmoid:
+                    probs = jax.nn.sigmoid(probs)
+                return loss, (probs > 0.5).astype(jnp.uint8)
+
+            self._eval_finish = jax.jit(finish)
+        return self._eval_finish
+
     def evaluate(self, loader, post_process=True, compute_lesion_level_metrics=False,
                  include_hd95=False, desc="validation"):
-        """Per-subject sliding-window evaluation (train.py:184-234)."""
+        """Per-subject sliding-window evaluation (train.py:184-234).
+
+        STREAMED: volumes are dispatched ahead through a bounded in-flight
+        queue (FCD_EVAL_QUEUE, default 4) and results fetched one volume
+        behind, so the device never idles during the host's fetch
+        round-trip + post-processing (the probe_host_gap lesson: a fetch
+        through a remote runtime orders behind the execution queue, so the
+        queue must hold more than one volume of work to cover it). Metric
+        math is unchanged — every volume is fully computed and fetched.
+        """
+        from collections import deque
+
         total_loss, n = 0.0, 0
         all_preds: List[np.ndarray] = []
         all_labels: List[np.ndarray] = []
         fcd_idx = 0 if self.params["chans_out"] == 1 else 1
+        finish = self._eval_finish_fn()
+        window = max(int(os.environ.get("FCD_EVAL_QUEUE", "4")), 1)
+        pending = deque()
 
-        for vol in loader:
-            logits = self.inference(vol.image)
-            loss = float(
-                self.loss_fn(jnp.asarray(logits)[None], jnp.asarray(vol.label)[None])
-            )
-            total_loss += loss
+        def drain():
+            nonlocal total_loss, n
+            loss_dev, bin_dev, label = pending.popleft()
+            total_loss += float(loss_dev)
             n += 1
-            probs = self._activate(logits)
-            binary = (probs > 0.5).astype(np.float32)[None]
+            binary = np.asarray(bin_dev).astype(np.float32)[None]
             if post_process:
                 binary = post_process_prediction(binary, self.params["min_region_size"])
             all_preds.append(binary[0, ..., fcd_idx])
-            all_labels.append(vol.label[..., 0])
+            all_labels.append(label[..., 0])
+
+        for vol in loader:
+            logits = self.inference(vol.image)
+            loss_dev, bin_dev = finish(jnp.asarray(logits),
+                                       jnp.asarray(vol.label))
+            pending.append((loss_dev, bin_dev, vol.label))
+            if len(pending) > window:
+                drain()
+        while pending:
+            drain()
 
         metrics = calculate_voxel_level_metrics(
             all_preds, all_labels, compute_hd95=include_hd95,
@@ -377,6 +433,14 @@ class ModelTrainer:
             "learning_rate": lr,
             "epoch_time": elapsed_time,
         }
+        if self._log_norms:
+            from fcd_tpu.train.state import group_norms
+
+            for k, v in group_norms(self.state.params).items():
+                values[f"pnorm_{k}"] = float(v)
+            if self._last_grad_norms is not None:
+                for k, v in self._last_grad_norms.items():
+                    values[f"gnorm_{k}"] = float(v)
         if self.wandb is not None and getattr(self.wandb, "run", None) is not None:
             # wandb.watch() is torch-module-specific; the flax analogue of its
             # parameter tracking (train.py:336) is an explicit global param
@@ -455,26 +519,42 @@ class ModelTrainer:
                         xb, yb, aug_key,
                         jnp.float32(cd_prob), jnp.float32(gm_prob),
                     )
+                step_args = ()
                 if self.mesh is not None:
+                    from fcd_tpu.parallel.mesh import shard_batch
+
                     n_dev = self.mesh.shape["data"]
                     if xb.shape[0] % n_dev == 0:
-                        from fcd_tpu.parallel.mesh import shard_batch
-
                         xb = shard_batch(self.mesh, xb)
                         yb = shard_batch(self.mesh, yb)
                         step = self.train_step
-                    else:
+                    elif self.params.get("ragged_dp", "pad") == "replicate":
                         if step_count == 0 and epoch == current_epoch and self.verbose:
                             print(
                                 f"global batch {xb.shape[0]} does not divide over "
                                 f"the {n_dev}-device mesh; running replicated "
-                                f"steps (raise batch_size/samples_per_case for DP)",
+                                f"steps (ragged_dp=replicate)",
                                 flush=True,
                             )
                         step = self._ragged_step
+                    else:
+                        # pad-and-mask: the step still shards over the mesh
+                        n = xb.shape[0]
+                        pad = -n % n_dev
+                        idx = np.arange(n + pad) % n  # cyclic repeats
+                        mask = (np.arange(n + pad) < n).astype(np.float32)
+                        xb = shard_batch(self.mesh, jnp.take(xb, idx, axis=0))
+                        yb = shard_batch(self.mesh, jnp.take(yb, idx, axis=0))
+                        step = self._dp_mask_step
+                        step_args = (None,
+                                     shard_batch(self.mesh, jnp.asarray(mask)))
                 else:
                     step = self.train_step
-                self.state, loss = step(self.state, xb, yb, lr, step_key)
+                out = step(self.state, xb, yb, lr, step_key, *step_args)
+                if self._log_norms:
+                    self.state, loss, self._last_grad_norms = out
+                else:
+                    self.state, loss = out
                 # one-step-lagged loss fetch: float(prev) round-trips the
                 # host while THIS step runs on device (a per-step sync
                 # costs ~30-45 ms through a remote runtime; the reference

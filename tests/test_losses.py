@@ -152,3 +152,31 @@ def test_one_hot():
     oh = np.asarray(one_hot(t, 2))
     assert oh.shape == (1, 2, 2)
     assert np.array_equal(oh[0], [[1, 0], [0, 1]])
+
+
+@pytest.mark.parametrize("loss_type", [
+    "DiceLoss", "DiceCELoss", "DiceFocalLoss", "GeneralizedDiceLoss",
+    "GeneralizedDiceFocalLoss",
+])
+def test_sample_mask_excludes_padded_samples(loss_type):
+    """Pad-and-mask exactness: loss(padded batch, mask) == loss(real batch)
+    for every main loss family plus the TV/boundary extras."""
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.losses.combined import make_combined_loss
+
+    params = get_default_params()
+    params.update(chans_out=2, loss=loss_type, tv_loss_weight=0.1,
+                  boundaryloss_weight=0.1)
+    loss_fn = make_combined_loss(params)
+
+    rng = np.random.RandomState(0)
+    n, pad = 3, 2
+    pred = rng.normal(size=(n, 6, 6, 6, 2)).astype(np.float32)
+    tgt = (rng.rand(n, 6, 6, 6, 1) > 0.6).astype(np.float32)
+    base = float(loss_fn(jnp.asarray(pred), jnp.asarray(tgt)))
+
+    idx = np.arange(n + pad) % n
+    mask = (np.arange(n + pad) < n).astype(np.float32)
+    masked = float(loss_fn(jnp.asarray(pred[idx]), jnp.asarray(tgt[idx]),
+                           None, jnp.asarray(mask)))
+    assert masked == pytest.approx(base, rel=1e-6)

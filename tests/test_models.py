@@ -11,19 +11,22 @@ from fcd_tpu.models.factory import count_params, get_model, init_model
 TINY = dict(patch_size=32, feature_size=4, project_size=8, chans_in=2,
             chans_out=2, use_amp=False)
 
+# heavy zoo members run in the slow tier; the fast tier keeps one
+# representative per architecture family (resnet, DSA, VAE, PS-decoder)
+_SLOW = pytest.mark.slow
 MODELS_READY = [
-    "MS_DSA_NET",
+    pytest.param("MS_DSA_NET", marks=_SLOW),
     "MS_DSA_NET_PS",
     "BASEUNET",
     "SEGRESNET",
     "SEGRESNETVAE",
     "SEGRESNET_DSA",
     "SEGRESNETVAE_DSA",
-    "UNETRPP",
-    "UNET",
-    "VNET",
-    "UNETR",
-    "SWINUNETR",
+    pytest.param("UNETRPP", marks=_SLOW),
+    pytest.param("UNET", marks=_SLOW),
+    pytest.param("VNET", marks=_SLOW),
+    pytest.param("UNETR", marks=_SLOW),
+    pytest.param("SWINUNETR", marks=_SLOW),
 ]
 
 

@@ -96,6 +96,7 @@ def test_resblock_s2d_path_matches_standard():
     np.testing.assert_allclose(got, want, atol=0.05 * scale)
 
 
+@pytest.mark.slow
 def test_resblock_conv8_train_pair_matches_composed():
     """The differentiable half-offset pair (FCD_CONV8_TRAIN) must match the
     padded-27 composed path in value and gradients (both run bf16; per-
@@ -168,6 +169,7 @@ def test_dsa_up_block_variants(fuse):
     assert y.shape == (1, 8, 8, 8, 8)
 
 
+@pytest.mark.slow
 def test_ms_dsa_net_s2d_residency_matches_standard(monkeypatch):
     """Force s2d eligibility on CPU (interpret kernels) and check the fully
     s2d-wired MS_DSA_NET matches the standard path."""

@@ -82,6 +82,7 @@ def test_save_kfold_splits_files(tmp_path):
     assert loaded["train"] and loaded["val"] and loaded["test"]
 
 
+@pytest.mark.slow
 def test_infer_cli_end_to_end(tmp_path, monkeypatch):
     """Checkpoint -> python -m fcd_tpu.cli.infer -> native NIfTI + metrics."""
     monkeypatch.setenv("WANDB_MODE", "disabled")

@@ -68,6 +68,7 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_s2d_loss_path_matches_dense():
     # the lane-dense training-loss fast path (s2d logits + s2d labels) is
     # the same math with voxel sums reassociated; the step loss must match
@@ -137,3 +138,32 @@ def test_factory_sets_vae_flag():
     params.update(model_type="MS_DSA_NET", patch_size=32)
     _, params = get_model(params, return_model=False)
     assert params["model_returns_vaeloss"] is False
+
+
+def test_grad_norms_step_returns_group_norms():
+    """grad_norms=True: the step returns {top-level group: grad L2 norm}
+    (the wandb.watch analogue, VERDICT r2 item 8)."""
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.losses.combined import make_combined_loss
+    from fcd_tpu.models.factory import get_model, init_model
+    from fcd_tpu.train.state import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    params = get_default_params()
+    params.update(model_type="BASEUNET", patch_size=16, feature_size=4,
+                  chans_in=2, chans_out=2, use_amp=False, loss="DiceCELoss")
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    state = create_train_state(model, variables, params)
+    step = make_train_step(model, make_combined_loss(params),
+                           make_optimizer(params), donate=False,
+                           grad_norms=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 16, 16, 2), jnp.float32)
+    y = jnp.asarray((rng.rand(2, 16, 16, 16, 1) > 0.7), jnp.float32)
+    new_state, loss, norms = step(state, x, y, 1e-3, jax.random.PRNGKey(0))
+    assert set(norms) == set(dict(state.params))
+    assert all(np.isfinite(float(v)) for v in norms.values())
+    assert any(float(v) > 0 for v in norms.values())
+    assert np.isfinite(float(loss))

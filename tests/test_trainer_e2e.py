@@ -35,6 +35,7 @@ TINY_KWARGS = [
 ]
 
 
+@pytest.mark.slow
 def test_cli_train_and_resume(data_dir, tmp_path, monkeypatch):
     monkeypatch.setenv("WANDB_MODE", "disabled")
     from fcd_tpu.cli.train import main
@@ -121,6 +122,7 @@ def overfit_data_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_overfit_one_sample_msdsanet(overfit_data_dir, tmp_path, monkeypatch):
     """SURVEY §4 plan item 3: the default MS_DSA_NET (tiny config) overfits
     one synthetic subject through the real CLI — train Dice > 0.9 on the
