@@ -101,6 +101,13 @@ def get_default_params() -> Dict[str, Any]:
     params['sw_overlap'] = 0.25
     params['sw_blend'] = 'constant'           # 'constant' | 'gaussian'
     params['sw_sigma_scale'] = 0.125
+    # Volume-shape bucketing: 'auto' keeps the exact static-grid engine for
+    # the first sw_bucket_auto_shapes distinct volume shapes, then bounds
+    # compiles by padding NEW shapes to sw_bucket_multiple-voxel buckets
+    # (identical outputs — the original patch grid rides as device data)
+    params['sw_bucket'] = 'auto'              # 'auto' | 'on' | 'off'
+    params['sw_bucket_multiple'] = 32
+    params['sw_bucket_auto_shapes'] = 2
 
     # Compute policy
     params['compute_dtype'] = 'bfloat16'      # used when use_amp is True

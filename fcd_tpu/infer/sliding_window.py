@@ -605,3 +605,136 @@ def sliding_window_inference(
         sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))
         out = out[sl[0], sl[1], sl[2], :]
     return out
+
+# ---------------------------------------------------------------------------
+# Volume-shape bucketing (SURVEY §7 hard part (d)): real datasets have
+# per-subject volume shapes (the reference resamples to 1 mm and gets
+# ~182x218x182 +/- a few voxels, get_transforms.py:129). The exact engine
+# compiles once per (volume shape, grid); the bucketed engine bounds the
+# compile count by padding the volume to a small bucket set while keeping
+# the ORIGINAL patch grid as device-side data (the dynamic-grid program),
+# so the blended output at the original voxels is IDENTICAL — padded
+# regions are never gathered from or scattered to.
+# ---------------------------------------------------------------------------
+
+
+def bucket_shape_for(grid_shape, roi_size, bucket_multiple: int = 32):
+    """Round each (roi-padded) axis up to the bucket multiple."""
+    return tuple(
+        max(-(-int(s) // bucket_multiple) * bucket_multiple, int(r))
+        for s, r in zip(grid_shape, roi_size)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _bucket_grid(grid_shape, roi_size, overlap, sw_batch, slot_multiple):
+    """Device-resident starts/validity for grid_shape, the slot count
+    rounded up to slot_multiple (bounds compiles across patch counts;
+    invalid slots blend with weight 0)."""
+    starts = dense_patch_starts(grid_shape, roi_size, overlap)
+    n = starts.shape[0]
+    mult = max(int(slot_multiple), int(sw_batch))
+    n_pad = (-n) % mult
+    valid = np.ones((n + n_pad,), np.float32)
+    if n_pad:
+        starts = np.concatenate(
+            [starts, np.repeat(starts[-1:], n_pad, axis=0)], axis=0)
+        valid[n:] = 0.0
+    return jnp.asarray(starts), jnp.asarray(valid)
+
+
+@functools.lru_cache(maxsize=32)
+def _bucket_inv_coverage(grid_shape, bucket_shape, roi_size, overlap, blend,
+                         sigma_scale, s2d_logits) -> jnp.ndarray:
+    """Reciprocal coverage of the ORIGINAL grid, padded with ones to the
+    bucket shape (the padded region's accumulator is exactly zero — no
+    patch covers it), device-resident per (grid, bucket) config."""
+    pd, ph, pw = grid_shape
+    bd, bh, bw = bucket_shape
+    starts = dense_patch_starts(grid_shape, roi_size, overlap)
+    if blend == "gaussian":
+        imp_np = gaussian_importance(roi_size, sigma_scale)
+    else:
+        imp_np = np.ones(roi_size, np.float32)
+    cnt_np = np.zeros((pd, ph, pw), np.float32)
+    for sd, sh_, sw_ in starts:
+        cnt_np[sd:sd + roi_size[0], sh_:sh_ + roi_size[1],
+               sw_:sw_ + roi_size[2]] += imp_np
+    inv = 1.0 / np.maximum(cnt_np, 1e-8)
+    inv = np.pad(inv, [(0, bd - pd), (0, bh - ph), (0, bw - pw)],
+                 constant_values=1.0)
+    if s2d_logits:
+        inv = (inv.reshape(bd // 2, 2, bh // 2, 2, bw // 2, 2)
+                  .transpose(0, 2, 4, 1, 3, 5)
+                  .reshape(bd // 2, bh // 2, bw // 2, 8))
+    else:
+        inv = inv[..., None]
+    return jnp.asarray(inv)
+
+
+def sliding_window_inference_bucketed(
+    volume: jnp.ndarray,
+    predictor: Callable,
+    *,
+    roi_size: Sequence[int],
+    out_channels: int,
+    sw_batch: int = 8,
+    overlap: float = 0.25,
+    blend: str = "constant",
+    sigma_scale: float = 0.125,
+    compute_dtype=jnp.float32,
+    patch_s2d: bool = False,
+    s2d_logits: bool = False,
+    bucket_multiple: int = 32,
+    slot_multiple: int = 8,
+) -> jnp.ndarray:
+    """sliding_window_inference with a BOUNDED compile count over
+    heterogeneous volume shapes.
+
+    The volume is zero-padded (after the engine's usual symmetric >=roi
+    pad) at the END of each axis to a multiple of `bucket_multiple`, but
+    the patch grid is the ORIGINAL shape's grid, passed as device data to
+    the dynamic-grid program — compile key = (bucket shape, rounded slot
+    count), result at the original voxels identical to the exact engine
+    (padded voxels are never gathered or blended; invalid grid slots carry
+    weight 0, adding exact zeros to the accumulator).
+    """
+    roi_size = tuple(int(r) for r in roi_size)
+    d, h, w, c = volume.shape
+    if patch_s2d or s2d_logits:
+        if not patch_s2d_compatible((d, h, w), roi_size, overlap):
+            raise ValueError(
+                "patch_s2d/s2d_logits require even rois, an even patch "
+                "interval and even volume dims; check patch_s2d_compatible"
+            )
+    pad = [max(r - s, 0) for r, s in zip(roi_size, (d, h, w))]
+    grid_shape = tuple(s + p for s, p in zip((d, h, w), pad))
+    bucket = bucket_shape_for(grid_shape, roi_size, bucket_multiple)
+    cfg = [
+        (p // 2, p - p // 2 + b - g)
+        for p, g, b in zip(pad, grid_shape, bucket)
+    ] + [(0, 0)]
+    padded = jnp.pad(volume, cfg) if any(any(t) for t in cfg) else volume
+
+    starts_dev, valid_dev = _bucket_grid(
+        grid_shape, roi_size, overlap, sw_batch, slot_multiple)
+    inv_cnt = _bucket_inv_coverage(
+        grid_shape, bucket, roi_size, overlap, blend, sigma_scale,
+        s2d_logits)
+    out = _sliding_window_jit(
+        padded,
+        starts_dev,
+        valid_dev,
+        inv_cnt,
+        predictor=predictor,
+        roi_size=roi_size,
+        sw_batch=sw_batch,
+        out_channels=out_channels,
+        blend=blend,
+        sigma_scale=sigma_scale,
+        compute_dtype=compute_dtype,
+        patch_s2d=patch_s2d,
+        s2d_logits=s2d_logits,
+    )
+    sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))
+    return out[sl[0], sl[1], sl[2], :]

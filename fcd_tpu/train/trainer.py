@@ -159,6 +159,8 @@ class ModelTrainer:
         )
         self._predict_s2d = None
         self._predict_s2d_logits = None
+        self._sw_exact_shapes = set()
+        self._sw_pred_wrappers: Dict[Any, Any] = {}
         self.wandb = _get_wandb(params)
         self.init_stats()
 
@@ -254,8 +256,18 @@ class ModelTrainer:
         else:
             predict = self.predict
 
-        def predictor(patches):
-            return predict(self.variables, patches)
+        # one closure PER PREDICT FN, cached: `predictor` is a jit
+        # static argument of the sliding-window programs (hashed by
+        # identity), so a fresh closure per call would retrace the whole
+        # SW program for every volume. The closure late-binds
+        # self.variables, so parameter updates between epochs are seen
+        # without retracing.
+        predictor = self._sw_pred_wrappers.get(predict)
+        if predictor is None:
+            def predictor(patches, _p=predict):
+                return _p(self.variables, patches)
+
+            self._sw_pred_wrappers[predict] = predictor
 
         compute_dtype = (
             jnp.bfloat16 if p.get("use_amp", True) else jnp.float32
@@ -275,6 +287,45 @@ class ModelTrainer:
                 sigma_scale=p.get("sw_sigma_scale", 0.125),
                 compute_dtype=compute_dtype,
                 patch_s2d=use_s2d_patches,
+            )
+        # volume-shape bucketing policy (SURVEY §7 hard part (d)): the
+        # exact static-grid engine compiles per volume shape; on a real
+        # heterogeneous dataset that is one XLA compile per subject. auto:
+        # the first sw_bucket_auto_shapes distinct shapes get the exact
+        # engine (covers fixed-shape pipelines at full speed), every later
+        # NEW shape runs the bucketed engine (identical results, compile
+        # count bounded by the bucket set).
+        bucket_mode = p.get("sw_bucket", "auto")
+        use_bucket = False
+        if bucket_mode == "on":
+            use_bucket = True
+        elif bucket_mode == "auto":
+            key = tuple(int(s) for s in volume.shape[:3])
+            if key in self._sw_exact_shapes:
+                use_bucket = False
+            elif len(self._sw_exact_shapes) < int(
+                    p.get("sw_bucket_auto_shapes", 2)):
+                self._sw_exact_shapes.add(key)
+            else:
+                use_bucket = True
+        if use_bucket:
+            from fcd_tpu.infer.sliding_window import (
+                sliding_window_inference_bucketed,
+            )
+
+            return sliding_window_inference_bucketed(
+                jnp.asarray(volume),
+                predictor,
+                roi_size=roi,
+                out_channels=p["chans_out"],
+                sw_batch=p.get("sw_batch_size", 2),
+                overlap=overlap,
+                blend=p.get("sw_blend", "constant"),
+                sigma_scale=p.get("sw_sigma_scale", 0.125),
+                compute_dtype=compute_dtype,
+                patch_s2d=use_s2d_patches,
+                s2d_logits=use_s2d_logits,
+                bucket_multiple=int(p.get("sw_bucket_multiple", 32)),
             )
         return sliding_window_inference(
             jnp.asarray(volume),

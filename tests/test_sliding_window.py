@@ -131,3 +131,91 @@ def test_s2d_blend_matches_dense_blend():
     got = sliding_window_inference(vol, pred_s2d, patch_s2d=True,
                                    s2d_logits=True, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bucketed_matches_exact_and_bounds_compiles():
+    """Volume-shape bucketing (SURVEY §7 hard part (d), VERDICT r2 item 4):
+    4 distinct volume shapes -> at most 2 dynamic-grid compilations, and
+    each bucketed output equals the exact engine's."""
+    from fcd_tpu.infer.sliding_window import (
+        _sliding_window_jit,
+        sliding_window_inference_bucketed,
+    )
+
+    rng = np.random.RandomState(0)
+    shapes = [(20, 24, 22), (22, 20, 24), (24, 22, 20), (21, 23, 19)]
+    before = _sliding_window_jit._cache_size()
+    for shape in shapes:
+        vol = jnp.asarray(rng.rand(*shape, 2), jnp.float32)
+        got = sliding_window_inference_bucketed(
+            vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+            sw_batch=2, overlap=0.25, bucket_multiple=8, slot_multiple=8,
+        )
+        want = sliding_window_inference(
+            vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+            sw_batch=2, overlap=0.25,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+    n_compiles = _sliding_window_jit._cache_size() - before
+    assert n_compiles <= 2, f"{n_compiles} compilations for 4 shapes"
+
+
+def test_bucketed_small_volume_and_gaussian():
+    """Bucketing composes with <roi volumes (symmetric pad) and gaussian
+    blending."""
+    from fcd_tpu.infer.sliding_window import sliding_window_inference_bucketed
+
+    rng = np.random.RandomState(1)
+    vol = jnp.asarray(rng.rand(10, 30, 12, 2), jnp.float32)
+    got = sliding_window_inference_bucketed(
+        vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25, blend="gaussian", bucket_multiple=8,
+    )
+    want = sliding_window_inference(
+        vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25, blend="gaussian",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_trainer_auto_bucket_policy():
+    """ModelTrainer.inference: first N distinct shapes exact, later new
+    shapes bucketed (sw_bucket='auto')."""
+    from unittest import mock
+
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.train.trainer import ModelTrainer
+
+    params = get_default_params()
+    params.update(model_type="BASEUNET", patch_size=16, feature_size=4,
+                  chans_in=2, chans_out=2, use_amp=False, mesh_data=1,
+                  sw_batch_size=2, sw_bucket_auto_shapes=2)
+    tr = ModelTrainer(params, verbose=False)
+    rng = np.random.RandomState(0)
+    calls = {"exact": 0, "bucket": 0}
+    import fcd_tpu.train.trainer as trainer_mod
+    from fcd_tpu.infer import sliding_window as sw_mod
+
+    real_exact = trainer_mod.sliding_window_inference
+    real_bucket = sw_mod.sliding_window_inference_bucketed
+
+    def spy_exact(*a, **k):
+        calls["exact"] += 1
+        return real_exact(*a, **k)
+
+    def spy_bucket(*a, **k):
+        calls["bucket"] += 1
+        return real_bucket(*a, **k)
+
+    with mock.patch.object(trainer_mod, "sliding_window_inference",
+                           spy_exact), \
+            mock.patch.object(sw_mod, "sliding_window_inference_bucketed",
+                              spy_bucket):
+        for shape in [(20, 20, 20), (20, 20, 20), (22, 20, 20),
+                      (24, 20, 20), (26, 20, 20)]:
+            out = tr.inference(rng.rand(*shape, 2).astype(np.float32))
+            assert out.shape == (*shape, 2)
+    assert calls["exact"] == 3  # two distinct shapes (one repeated)
+    assert calls["bucket"] == 2  # every later NEW shape
