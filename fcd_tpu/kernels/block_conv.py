@@ -631,7 +631,8 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                         want_res_stats: bool = False,
                         paired: bool = False, vmem_halo: bool = False,
                         w_pad_to: int = 0, carry: bool = False,
-                        vpair: bool = False, kd: int = 1):
+                        vpair: bool = False, kd: int = 1,
+                        dualacc: bool = False):
     """Half-offset 8-tap conv kernel (one depth-row per program).
 
     variant 'a2o' (aligned in -> offset out): reads aligned rows z, z+1 of
@@ -781,6 +782,26 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                     base = rows[sz]
                     for sy in range(2):
                         su = base[sy:sy + h_out]
+                        if dualacc:
+                            # DUAL-ACCUMULATOR form: both sx GEMMs run over
+                            # the FULL slab width (always sublane-aligned —
+                            # no Mosaic operand copies, no lane pairing);
+                            # the sx=1 shift happens ONCE per output row as
+                            # an f32 accumulator slice-add below. ~11% more
+                            # MXU work for ~0 per-tap VPU work.
+                            a0, a1 = acc if acc is not None else (None, None)
+                            d0 = jax.lax.dot_general(
+                                su, w_ref[tap], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            d1 = jax.lax.dot_general(
+                                su, w_ref[tap + 1], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            acc = (d0 if a0 is None else a0 + d0,
+                                   d1 if a1 is None else a1 + d1)
+                            tap += 2
+                            continue
                         if paired or vpair:
                             # sx lives in the lane halves: one aligned GEMM
                             # with a doubled contraction covers both W taps
@@ -800,6 +821,10 @@ def _make_fused8_kernel(h_out: int, w_out: int, *, variant: str,
                             )
                             acc = d if acc is None else acc + d
                             tap += 1
+                if dualacc and ti == len(triples) - 1:
+                    # combine: out[:, u] = acc0[:, u] + acc1[:, u+1]
+                    a0, a1 = acc
+                    acc = a0[:, 0:w_out] + a1[:, 1:1 + w_out]
                 accs[j] = acc
                 if want_res:
                     rh, rw = res_hw
@@ -871,7 +896,8 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                  in_scale, in_shift, neg_slope, want_stats, out_dtype,
                  interpret, res_wblks=None, res_hw=None,
                  want_res_stats=False, paired=False, vmem_halo=False,
-                 w_pad_to=0, carry=False, vpair=False, kd=1):
+                 w_pad_to=0, carry=False, vpair=False, kd=1,
+                 dualacc=False):
     xps = xp if isinstance(xp, (list, tuple)) else [xp]
     wblks = wblk8 if isinstance(wblk8, (list, tuple)) else [wblk8]
     assert len(xps) == len(wblks)
@@ -965,7 +991,8 @@ def _fused8_call(xp, wblk8, *, variant, d_out, h_out, w_out, h_last, w_last,
                             res_hw=res_hw if want_res else None,
                             want_res_stats=want_res_stats, paired=paired,
                             vmem_halo=vmem_halo, w_pad_to=w_pad_to,
-                            carry=carry, vpair=vpair, kd=kd),
+                            carry=carry, vpair=vpair, kd=kd,
+                            dualacc=dualacc),
         grid=(bsz, d_out // kd),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1027,6 +1054,17 @@ def _conv8_vpair() -> bool:
     import os
 
     return os.environ.get("FCD_CONV8_VPAIR", "1") == "1"
+
+
+def _conv8_dualacc() -> bool:
+    """Dual-accumulator form for the fused8 kernels (FCD_CONV8_DUALACC):
+    both sx GEMMs run full-slab-width (aligned operands, no pairing); one
+    f32 accumulator shift-add per output row replaces all per-tap VPU
+    work. Wins on the VPU-bound level-1/2 shapes, especially the unpaired
+    multi-part decoder kernels whose misaligned sx=1 slices Mosaic copies."""
+    import os
+
+    return os.environ.get("FCD_CONV8_DUALACC", "0") == "1"
 
 
 def _a2o_carry() -> bool:
@@ -1122,7 +1160,8 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     paired = _conv8_paired()
-    vpair = _conv8_vpair() and not paired
+    dualacc = _conv8_dualacc() and not paired
+    vpair = _conv8_vpair() and not paired and not dualacc
     vmem_halo = _a2o_vmem_halo() and not paired
     xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
     if paired:
@@ -1137,8 +1176,8 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
         h_last=h2, w_last=w2, in_scale=None, in_shift=None, neg_slope=1.0,
         want_stats=want_stats, out_dtype=out_dtype, interpret=interpret,
         paired=paired, vmem_halo=vmem_halo, w_pad_to=w_in,
-        carry=_a2o_carry() and not (paired or vpair) and kd == 1,
-        vpair=vpair, kd=kd,
+        carry=_a2o_carry() and not (paired or vpair or dualacc) and kd == 1,
+        vpair=vpair, kd=kd, dualacc=dualacc,
     )
 
 
@@ -1161,10 +1200,12 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     paired = _conv8_paired()
+    dualacc = _conv8_dualacc() and not paired
     # vpair measured a win only on the single-part a2o kernel (enc1
     # 4.85 -> 3.50 ms/volume); the multi-part kernels were flat and a
     # downstream finale fusion regressed — keep them unpaired
-    vpair = _conv8_vpair() and not paired and len(xs_list) == 1
+    vpair = (_conv8_vpair() and not paired and not dualacc
+             and len(xs_list) == 1)
     vmem_halo = _a2o_vmem_halo() and not paired
     pad = _depth_pad if vmem_halo else (lambda xs: _halo_pad(xs, w_in))
     xps = [pad(xs) for xs in xs_list]
@@ -1186,8 +1227,8 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
         res_hw=None if res_wblk_list is None else (h2, w2),
         want_res_stats=want_res_stats, paired=paired,
         vmem_halo=vmem_halo, w_pad_to=w_in,
-        carry=_a2o_carry() and not (paired or vpair) and kd == 1,
-        vpair=vpair, kd=kd,
+        carry=_a2o_carry() and not (paired or vpair or dualacc) and kd == 1,
+        vpair=vpair, kd=kd, dualacc=dualacc,
     )
 
 
@@ -1206,6 +1247,7 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
     d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
     assert w2p == _pad8(w2 + 1), (ys.shape, "expected a2o-padded W axis")
     paired = _conv8_paired()
+    dualacc = _conv8_dualacc() and not paired
     # vpair on o2a measured flat (the kernel already runs ~77% MXU)
     vpair = False
     if paired:
@@ -1223,6 +1265,7 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
         h_last=h2, w_last=w2, in_scale=in_scale, in_shift=in_shift,
         neg_slope=neg_slope, want_stats=want_stats, out_dtype=out_dtype,
         interpret=interpret, paired=paired, vpair=vpair, kd=kd,
+        dualacc=dualacc,
     )
 
 
