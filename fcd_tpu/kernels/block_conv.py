@@ -1566,6 +1566,10 @@ def blocked_conv_s2d_dw(xs: jnp.ndarray, g: jnp.ndarray,
         out_specs=pl.BlockSpec((27, c8, cout8), lambda b, z: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27, c8, cout8), jnp.float32),
+        # the (27, 8cin, 8cout) f32 accumulator is 27M at c=64 — over the
+        # 16M default scoped budget (v5e has 128M physical VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xlo, xp, xhi, g)
 

@@ -174,6 +174,15 @@ class _MSDSACore(nn.Module):
             t = Conv3d(emb_chans, kernel_size=1, use_bias=self.use_bias,
                        dtype=self.dtype)(feat)
             t = GroupNorm(num_groups=groups)(t)
+            if self.dtype is not None:
+                # keep the transformer stack in the compute dtype: GroupNorm
+                # emits f32 (f32 params promote), and carrying f32 tokens
+                # through 3 blocks costs ~0.9 GB/step of convert/copy
+                # traffic at batch 4x128^3 (profile_train_step,
+                # attention.py converts). LayerNorm/softmax still compute
+                # f32 internally; residual adds in bf16 match the
+                # reference's AMP behavior (train.py:373 autocast).
+                t = t.astype(self.dtype)
             n = 1
             for dim in img:
                 n *= dim // level_div

@@ -198,15 +198,20 @@ class UnetResBlock(nn.Module):
                 instance_norm_act_offset,
             )
 
+            from fcd_tpu.ops.s2d_ops import _lane_narrow_ok
+
             w1k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
                             dtype=self.dtype)(return_kernel_for=cin_total)
             xs_list, w_list = [], []
             off = 0
             for xs, c in parts:
                 w1p = w1k[..., off:off + c, :]
-                if c < 16:
-                    # Mosaic rejects sub-128-lane operands; zero-pad the
-                    # parity groups and the matching weight rows
+                if c < 16 and not _lane_narrow_ok():
+                    # the XLA-padded-halo form rejects sub-128-lane
+                    # operands; zero-pad the parity groups and the
+                    # matching weight rows (the vmem-halo default accepts
+                    # c8=16 directly — the ~1 ms/step HBM lane pad of the
+                    # entry part disappears, profile_train_step pad.0)
                     b_, d_, h_, w_ = xs.shape[:4]
                     xs = jnp.pad(
                         xs.reshape(b_, d_, h_, w_, 8, c),
@@ -216,13 +221,30 @@ class UnetResBlock(nn.Module):
                 xs_list.append(xs.astype(jnp.bfloat16))
                 w_list.append(w1p)
                 off += c
-            y1o = conv8_a2o(tuple(xs_list), tuple(w_list))
-            y1o = instance_norm_act_offset(
-                y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s)
             w2k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
                             dtype=self.dtype)(return_kernel_for=oc)
-            ys = conv8_o2a(y1o, w2k, w2s)
-            ys = norm_s2d(ys)
+            if os.environ.get("FCD_CONV8_STATS", "1") != "0":
+                # kernels accumulate the instance-norm sums alongside the
+                # conv output: the norms' two full-tensor reduction passes
+                # never run in XLA (~3 ms/step at batch 4x128^3)
+                from fcd_tpu.ops.s2d_ops import (
+                    conv8_a2o_stats,
+                    conv8_o2a_stats,
+                )
+
+                y1o, a_s1, a_s2 = conv8_a2o_stats(tuple(xs_list),
+                                                  tuple(w_list))
+                y1o = instance_norm_act_offset(
+                    y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s,
+                    stats=(a_s1, a_s2))
+                ys, o_s1, o_s2 = conv8_o2a_stats(y1o, w2k, w2s)
+                ys = instance_norm_s2d(ys, oc, stats=(o_s1, o_s2))
+            else:
+                y1o = conv8_a2o(tuple(xs_list), tuple(w_list))
+                y1o = instance_norm_act_offset(
+                    y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s)
+                ys = conv8_o2a(y1o, w2k, w2s)
+                ys = norm_s2d(ys)
         else:
             ys = Conv3d(oc, self.kernel_size, 1, use_bias=self.use_bias,
                         dtype=self.dtype)(s2d_parts=parts)

@@ -154,15 +154,21 @@ def conv1x1_s2d(xs: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=jnp.float32).astype(xs.dtype)
 
 
-def instance_norm_s2d(xs: jnp.ndarray, c: int, eps: float = 1e-5) -> jnp.ndarray:
+def instance_norm_s2d(xs: jnp.ndarray, c: int, eps: float = 1e-5,
+                      stats=None) -> jnp.ndarray:
     """Instance norm over (spatial x parity groups) per true channel, without
     materializing any lane-sparse intermediate: spatial sums give (B, 8c)
-    which is tiny to regroup."""
+    which is tiny to regroup. With `stats=(s1, s2)` — per-lane sums the
+    producing conv kernel accumulated (conv8_*_stats) — the two reduction
+    passes are skipped entirely."""
     b = xs.shape[0]
     n = xs.shape[1] * xs.shape[2] * xs.shape[3] * 8
     xf = xs.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2, 3))                   # (B, 8c)
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
+    if stats is None:
+        s1 = jnp.sum(xf, axis=(1, 2, 3))               # (B, 8c)
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
+    else:
+        s1, s2 = (s.astype(jnp.float32) for s in stats)
     s1 = s1.reshape(b, 8, c).sum(axis=1)               # (B, c)
     s2 = s2.reshape(b, 8, c).sum(axis=1)
     mean = s1 / n
@@ -340,6 +346,59 @@ def _conv8_a2o_bwd(out_dtype, res, g):
 conv8_a2o.defvjp(_conv8_a2o_fwd, _conv8_a2o_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv8_a2o_stats(xs_tuple, w_tuple, out_dtype=jnp.bfloat16):
+    """conv8_a2o that also returns the kernel-accumulated per-lane output
+    sums (s1, s2) — the instance-norm statistics — so the norm's two
+    full-tensor reduction passes never run in XLA (~2 ms/step at batch
+    4x128^3). Pad slots are exact zeros, so the sums are exact.
+    Returns (y, s1, s2) with s1/s2 f32 (B, 8*cout)."""
+    return _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype)
+
+
+def _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o_multi,
+        make_blocked_weights_8tap,
+    )
+
+    wblks = [make_blocked_weights_8tap(w.astype(jnp.float32)).astype(jnp.bfloat16)
+             for w in w_tuple]
+    y, s1, s2 = blocked_conv_a2o_multi(
+        [x.astype(jnp.bfloat16) for x in xs_tuple], wblks,
+        want_stats=True, out_dtype=out_dtype, interpret=_interp())
+    return y, s1[:, 0], s2[:, 0]          # (B, 1, 8c) -> (B, 8c)
+
+
+def _conv8_a2o_stats_fwd(xs_tuple, w_tuple, out_dtype):
+    out = _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype)
+    return out, (xs_tuple, w_tuple, out[0])
+
+
+def _stats_cotangent(gy, gs1, gs2, y):
+    """Fold the sums' cotangents into the output cotangent:
+    s1 = sum(y), s2 = sum(y^2) => dy += gs1 + 2*y*gs2 (broadcast over
+    spatial dims). One elementwise pass, fused by XLA into the adjoint
+    chain — the same ops its autodiff emitted for the explicit sums."""
+    g = gy.astype(jnp.float32)
+    if gs1 is not None:
+        g = g + gs1.astype(jnp.float32)[:, None, None, None, :]
+    if gs2 is not None:
+        g = g + 2.0 * y.astype(jnp.float32) * (
+            gs2.astype(jnp.float32)[:, None, None, None, :])
+    return g
+
+
+def _conv8_a2o_stats_bwd(out_dtype, res, g):
+    xs_tuple, w_tuple, y = res
+    gy, gs1, gs2 = g
+    return _conv8_a2o_bwd(out_dtype, (xs_tuple, w_tuple),
+                          _stats_cotangent(gy, gs1, gs2, y))
+
+
+conv8_a2o_stats.defvjp(_conv8_a2o_stats_fwd, _conv8_a2o_stats_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv8_o2a(ys, w, aligned_w: int, out_dtype=jnp.bfloat16):
     """Differentiable half-offset conv, offset -> aligned (the second conv
@@ -389,21 +448,61 @@ def _conv8_o2a_bwd(aligned_w, out_dtype, res, g):
 conv8_o2a.defvjp(_conv8_o2a_fwd, _conv8_o2a_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv8_o2a_stats(ys, w, aligned_w: int, out_dtype=jnp.bfloat16):
+    """conv8_o2a that also returns the kernel-accumulated per-lane output
+    sums (s1, s2) for the following instance norm (see conv8_a2o_stats)."""
+    return _conv8_o2a_stats_impl(ys, w, aligned_w, out_dtype)
+
+
+def _conv8_o2a_stats_impl(ys, w, aligned_w, out_dtype):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_o2a,
+        make_blocked_weights_8tap,
+    )
+
+    wblk = make_blocked_weights_8tap(
+        w.astype(jnp.float32)).astype(jnp.bfloat16)
+    y, s1, s2 = blocked_conv_o2a(ys.astype(jnp.bfloat16), wblk, aligned_w,
+                                 want_stats=True, out_dtype=out_dtype,
+                                 interpret=_interp())
+    return y, s1[:, 0], s2[:, 0]          # (B, 1, 8c) -> (B, 8c)
+
+
+def _conv8_o2a_stats_fwd(ys, w, aligned_w, out_dtype):
+    out = _conv8_o2a_stats_impl(ys, w, aligned_w, out_dtype)
+    return out, (ys, w, out[0])
+
+
+def _conv8_o2a_stats_bwd(aligned_w, out_dtype, res, g):
+    ys, w, y = res
+    gy, gs1, gs2 = g
+    return _conv8_o2a_bwd(aligned_w, out_dtype, (ys, w),
+                          _stats_cotangent(gy, gs1, gs2, y))
+
+
+conv8_o2a_stats.defvjp(_conv8_o2a_stats_fwd, _conv8_o2a_stats_bwd)
+
+
 def instance_norm_act_offset(ys: jnp.ndarray, c: int, n_true: int,
                              neg_slope: float, h_last: int, w_last: int,
-                             eps: float = 1e-5) -> jnp.ndarray:
+                             eps: float = 1e-5, stats=None) -> jnp.ndarray:
     """Instance norm + leaky-relu on an OFFSET-grid tensor, re-zeroing the
     pad slots the affine shift would otherwise corrupt (pad slots are
     exact zeros, so the sums need no masking; n_true = real voxel count =
     d2*h2*w2*8 of the aligned grid). Differentiable (XLA ops only; the
     where() VJP zeroes pad-slot cotangents, which the conv8 VJPs rely
-    on)."""
+    on). With `stats=(s1, s2)` the kernel-accumulated sums are used and
+    the reduction passes are skipped (see instance_norm_s2d)."""
     from fcd_tpu.kernels.block_conv import offset_keep_mask
 
     b = ys.shape[0]
     yf = ys.astype(jnp.float32)
-    s1 = jnp.sum(yf, axis=(1, 2, 3))
-    s2 = jnp.sum(jnp.square(yf), axis=(1, 2, 3))
+    if stats is None:
+        s1 = jnp.sum(yf, axis=(1, 2, 3))
+        s2 = jnp.sum(jnp.square(yf), axis=(1, 2, 3))
+    else:
+        s1, s2 = (s.astype(jnp.float32) for s in stats)
     scale, shift = _inorm_affine_from_sums(s1, s2, c, n_true, eps)
     t = yf * scale[:, None, None, None, :] + shift[:, None, None, None, :]
     t = jnp.where(t >= 0, t, neg_slope * t)
@@ -463,12 +562,16 @@ def _upsample_s2d_bwd(cin, res, dy):
     ys, w = res
     cout = w.shape[4]
     wm = _upsample_wm(w, cin)
-    dyf = dy.astype(jnp.float32)
-    dz = space_to_depth(dyf)                 # (B, d4, h4, w4, 8*(8*cout))
-    d_ys = conv1x1_s2d(dz, wm.T.astype(jnp.float32)).astype(ys.dtype)
-    ysf = ys.astype(jnp.float32).reshape(-1, 8, cin)
+    # regroup the cotangent in ITS dtype (a pure permutation — f32-casting
+    # first doubled the d2s copy bytes, ~2 GB/step at batch 4x128^3) and
+    # let the dots accumulate in f32; ys/dy are bf16-valued either way so
+    # the products are identical, only the dwm sum reassociates
+    dz = space_to_depth(dy)                  # (B, d4, h4, w4, 8*(8*cout))
+    d_ys = conv1x1_s2d(dz, wm.T.astype(dz.dtype)).astype(ys.dtype)
+    ysf = ys.reshape(-1, 8, cin)
     dzf = dz.reshape(-1, 8, 8 * cout)
-    dwm = jnp.einsum("ngi,ngq->iq", ysf, dzf)
+    dwm = jnp.einsum("ngi,ngq->iq", ysf, dzf,
+                     preferred_element_type=jnp.float32)
     dwf = dwm.reshape(cin, 8, cout).transpose(1, 0, 2).reshape(
         2, 2, 2, cin, cout)
     dw = jnp.flip(dwf, axis=(0, 1, 2)).astype(w.dtype)
