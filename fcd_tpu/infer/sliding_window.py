@@ -234,12 +234,25 @@ _SW_STATIC_GRID_ARGNAMES = (
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def _entry_s2d(volume, *, compute_dtype):
-    """Volume entry transform as its OWN jit: cast + one-hot-conv s2d.
+    """Volume entry transform as its OWN jit: cast + s2d.
     Keeping it out of the sliding-window program stops that program's
     layout assignment from forcing a relayout of the raw-volume
-    parameter (profiled at ~15 ms/volume when coupled)."""
-    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+    parameter (profiled at ~15 ms/volume when coupled).
 
+    Default form: the Pallas entry kernel (kernels/s2d_entry.py) — the
+    one-hot-conv form cost ~3.6 ms/volume in an input relayout copy plus
+    the conv fusion (FCD_ENTRY_KERNEL=0 restores it; bit-identical)."""
+    import os
+
+    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+    from fcd_tpu.kernels.s2d_entry import s2d_entry, s2d_entry_supported
+
+    d, h, w, c = (int(v) for v in volume.shape)
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("FCD_ENTRY_KERNEL", "0") == "1"
+            and compute_dtype == jnp.bfloat16
+            and s2d_entry_supported(d, h, w, c)):
+        return s2d_entry(volume, out_dtype=compute_dtype)
     return space_to_depth_fast(volume.astype(compute_dtype)[None])[0]
 
 
@@ -329,7 +342,10 @@ def _sliding_window_static_impl(
     nb = n // sw_batch
     batched = patches.reshape((nb, sw_batch) + patches.shape[1:])
     logits = jax.lax.map(lambda p: predictor(p), batched)
-    logits = logits.reshape((n,) + logits.shape[2:]).astype(jnp.float32)
+    # keep the stack in the predictor dtype: each blend term converts to
+    # f32 inside its own pad fusion (pre-converting materialized a full
+    # f32 stack — a ~1 ms/volume standalone pass on the bench grid)
+    logits = logits.reshape((n,) + logits.shape[2:])
 
     # blending: with STATIC offsets every contribution is a zero-pad of the
     # weighted patch logits and the pad-tree sum fuses into one output pass
@@ -348,7 +364,8 @@ def _sliding_window_static_impl(
                 continue
             pos = (s[0] // 2, s[1] // 2, s[2] // 2)
             cfg = [(p, f - p - e) for p, f, e in zip(pos, full, ext)]
-            term = jnp.pad(logits[i] * imp_lanes, cfg + [(0, 0)])
+            term = jnp.pad(logits[i].astype(jnp.float32) * imp_lanes,
+                           cfg + [(0, 0)])
             acc = term if acc is None else acc + term
         if exit_form == "pallas":
             from fcd_tpu.kernels.d2s_exit import d2s_exit_flat
@@ -370,7 +387,7 @@ def _sliding_window_static_impl(
         pos = (int(s[0]), int(s[1]), int(s[2]))
         cfg = [(p, f - p - e)
                for p, f, e in zip(pos, (d, h, w), (rd, rh, rw))]
-        term = jnp.pad(logits[i] * imp4, cfg + [(0, 0)])
+        term = jnp.pad(logits[i].astype(jnp.float32) * imp4, cfg + [(0, 0)])
         acc = term if acc is None else acc + term
     return acc * inv_cnt
 

@@ -210,9 +210,21 @@ def _label_s2d_jit(label):
 @functools.partial(jax.jit, static_argnums=(1,))
 def _image_s2d_jit(image, dtype):
     """(B, D, H, W, C) image -> compute-dtype (B, D/2, H/2, W/2, 8C) s2d,
-    in its own jit (see make_train_step's s2d_input)."""
-    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+    in its own jit (see make_train_step's s2d_input). Uses the Pallas
+    entry kernel where supported (batch folded into depth — s2d pairs
+    stay within samples since D is even); bit-identical to the conv
+    form."""
+    import os
 
+    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+    from fcd_tpu.kernels.s2d_entry import s2d_entry, s2d_entry_supported
+
+    b, d, h, w, c = (int(v) for v in image.shape)
+    if (jax.default_backend() == "tpu" and dtype == jnp.bfloat16
+            and os.environ.get("FCD_ENTRY_KERNEL", "0") == "1"
+            and s2d_entry_supported(d, h, w, c)):
+        out = s2d_entry(image.reshape(b * d, h, w, c), out_dtype=dtype)
+        return out.reshape(b, d // 2, h // 2, w // 2, 8 * c)
     if dtype is not None:
         image = image.astype(dtype)
     return space_to_depth_fast(image)
