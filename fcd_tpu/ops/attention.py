@@ -129,9 +129,20 @@ class DSA(nn.Module):
                 return out
             return base + res_gamma.astype(base.dtype) * out.astype(base.dtype)
 
+        import os as _os
+
         qkvv = jnp.einsum("bnc,ck->bnk", x.astype(dtype), w_qkvv.astype(dtype))
         if b_qkvv is not None:
             qkvv = qkvv + b_qkvv.astype(qkvv.dtype)
+
+        if _os.environ.get("FCD_DSA_V2", "1") != "0":
+            return finish(_dsa_tokens_resident(
+                qkvv, ef, temperature, temperature2, h, c,
+                self.sa_type, drop_ca=nn.Dropout(
+                    self.channel_attn_drop, deterministic=not train),
+                drop_sa=nn.Dropout(
+                    self.spatial_attn_drop, deterministic=not train)))
+
         qkvv = qkvv.reshape(B, N, num, h, c)
         # (B, h, c, N) per slot
         def slot(i):
@@ -189,6 +200,81 @@ class DSA(nn.Module):
         x_ca = channel_attention(slot(2))
         x_sa = spatial_attention(slot(3))
         return finish(x_ca + x_sa)
+
+
+def _dsa_tokens_resident(qkvv, ef, temperature, temperature2, h, c,
+                         sa_type, *, drop_ca, drop_sa):
+    """DSA attention math in TOKENS-RESIDENT layout: every large tensor
+    stays (B, N, lanes) with N in sublanes and lane-dense channels — the
+    per-head (B, h, c, N) forms of the v1 einsum path put N in the lane
+    dimension and cost ~10 ms/step of transpose/convert fusions at the
+    level-3 grid (batch 4x128^3, profile_train_step fusion.226/324
+    families). Identical math (reassociation only): per-head structure
+    rides in block-diagonal / block-expanded matrices that are tiny
+    (C x C, C x h*P), and the only big ops are token-major GEMMs.
+
+    qkvv: (B, N, num*C) fused projection output; slots are contiguous
+    column groups. Returns (B, N, C) with the same h-major/c-minor lane
+    assembly as the v1 path."""
+    B, N, K = qkvv.shape
+    C = h * c
+    num = K // C
+
+    def slot(i):
+        return jax.lax.slice_in_dim(qkvv, i * C, (i + 1) * C, axis=2)
+
+    q, k = slot(0), slot(1)
+    if ef is not None:
+        ef = ef.astype(q.dtype)
+
+    def norm_tokens(t):
+        # XCA-style: l2-normalize each (b, channel) activation over N
+        sq = jnp.sum(jnp.square(t), axis=1, keepdims=True)     # (B, 1, C)
+        return t * jax.lax.rsqrt(sq + 1e-12)
+
+    qn, kn = norm_tokens(q), norm_tokens(k)
+    eye_h = jnp.eye(h, dtype=qkvv.dtype)
+
+    def channel_attention(v_ca):
+        # full Gram (B, C, C) holds every per-head block; off-diagonal
+        # blocks are discarded below (tiny tensors from here on)
+        g = jnp.einsum("bnc,bnd->bcd", qn, kn)
+        gh = g.reshape(B, h, c, h, c)
+        blocks = gh[:, jnp.arange(h), :, jnp.arange(h), :]     # (h, B, c, c)
+        attn = jnp.transpose(blocks, (1, 0, 2, 3))             # (B, h, c, c)
+        attn = attn * temperature.astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = drop_ca(attn)
+        # block-diagonal embed: A[b, hc+ci, hd+d] = attn[b, h, ci, d]
+        a_blk = jnp.einsum("bhcd,hg->bhcgd", attn, eye_h)
+        a_blk = a_blk.reshape(B, C, C)
+        return jnp.einsum("bnd,bcd->bnc", v_ca, a_blk)
+
+    def spatial_attention(v_sa):
+        kp = jnp.einsum("bnc,np->bcp", k, ef)                  # (B, C, P)
+        vp = jnp.einsum("bnc,np->bcp", v_sa, ef)
+        p = kp.shape[-1]
+        # block-expand with the per-head temperature folded in:
+        # KB[b, hc+ci, g*P+p] = kp[b, hc+ci, p] * temp2[h] * (g == h)
+        t2 = temperature2.reshape(h).astype(kp.dtype)
+        kpb = jnp.einsum("bhcp,hg->bhcgp", kp.reshape(B, h, c, p),
+                         eye_h * t2[:, None])
+        kpb = kpb.reshape(B, C, h * p)
+        attn = jnp.einsum("bnc,bcq->bnq", qn, kpb)             # (B, N, h*P)
+        attn = jax.nn.softmax(attn.reshape(B, N, h, p), axis=-1)
+        attn = drop_sa(attn).reshape(B, N, h * p)
+        # VB[b, g*P+p, hc+ci] = vp[b, hc+ci, p] * (g == h)
+        vpb = jnp.einsum("bhcp,hg->bgphc", vp.reshape(B, h, c, p), eye_h)
+        vpb = vpb.reshape(B, h * p, C)
+        return jnp.einsum("bnq,bqc->bnc", attn, vpb)
+
+    if sa_type == "channel":
+        return channel_attention(slot(2))
+    if sa_type == "spatial":
+        return spatial_attention(slot(2))
+    if sa_type == "serial":
+        return channel_attention(spatial_attention(slot(2)))
+    return channel_attention(slot(2)) + spatial_attention(slot(3))
 
 
 class ChannelDropout3d(nn.Module):

@@ -71,8 +71,18 @@ def main(batch=4, n=8):
         pending = loss
     loss = float(pending)
     dt = (time.perf_counter() - t0) / n
+    # train MFU on LOGICAL model FLOPs (fwd 1x + bwd 2x of the forward's
+    # conv/matmul work — the standard convention), against the v5e bf16
+    # peak; the s2d kernels' 2.37x redundancy is intentionally NOT
+    # credited (same convention as bench.py's inference MFU)
+    from fcd_tpu.utils.profiling import device_peak_flops, get_model_flops
+
+    fwd_flops, _ = get_model_flops(model, params)
+    step_flops = 3.0 * fwd_flops * batch
+    mfu = step_flops / dt / device_peak_flops()
     print(f"pipelined step (batch {batch}, 128^3): {dt*1000:.0f} ms "
-          f"-> {batch/dt:.2f} patches/s, loss={loss:.4f}", flush=True)
+          f"-> {batch/dt:.2f} patches/s, loss={loss:.4f}, "
+          f"train_mfu={mfu:.3f}", flush=True)
 
 
 if __name__ == "__main__":

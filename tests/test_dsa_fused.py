@@ -79,3 +79,32 @@ def test_dsa_train_path_keeps_einsum_and_grads(monkeypatch):
     g = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(a)).all()
                for a in jax.tree_util.tree_leaves(g))
+
+
+def test_dsa_v2_matches_v1_all_modes():
+    """The tokens-resident (v2) einsum formulation is a reassociation of
+    the per-head (v1) path — f32 forward agreement to ~1e-6."""
+    import os
+
+    import numpy as np
+
+    from fcd_tpu.ops.attention import DSA
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 32), jnp.float32)
+    for sa in ["parallel", "serial", "spatial", "channel"]:
+        m = DSA(input_size=64, hidden_size=32, proj_size=16, num_heads=4,
+                sa_type=sa, channel_attn_drop=0.0, spatial_attn_drop=0.0)
+        v = m.init(jax.random.PRNGKey(0), x)
+        old = os.environ.get("FCD_DSA_V2")
+        try:
+            os.environ["FCD_DSA_V2"] = "0"
+            y1 = m.apply(v, x)
+            os.environ["FCD_DSA_V2"] = "1"
+            y2 = m.apply(v, x)
+        finally:
+            if old is None:
+                os.environ.pop("FCD_DSA_V2", None)
+            else:
+                os.environ["FCD_DSA_V2"] = old
+        assert float(jnp.max(jnp.abs(y1 - y2))) < 2e-6, sa
