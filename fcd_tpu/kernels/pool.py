@@ -74,7 +74,7 @@ def pool_bwd_pallas(xs: jnp.ndarray, m: jnp.ndarray, g: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xs, g.astype(jnp.float32))
+    )(xs, g)
 
 
 def pool_bwd_supported(h2: int, w2: int, c: int) -> bool:

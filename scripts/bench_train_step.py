@@ -78,6 +78,13 @@ def main(batch=4, n=8):
     from fcd_tpu.utils.profiling import device_peak_flops, get_model_flops
 
     fwd_flops, _ = get_model_flops(model, params)
+    if fwd_flops < 1e11:
+        # the TPU eval path lowers the convs as Pallas custom calls, which
+        # XLA cost analysis cannot see into (it reports ~32 GF instead of
+        # 258 GF) — use the CPU-measured constant for the same graph
+        from bench import FLOPS_PER_PATCH_BS1
+
+        fwd_flops = FLOPS_PER_PATCH_BS1
     step_flops = 3.0 * fwd_flops * batch
     mfu = step_flops / dt / device_peak_flops()
     print(f"pipelined step (batch {batch}, 128^3): {dt*1000:.0f} ms "
