@@ -81,10 +81,25 @@ def main(batch=4, n=8):
     if fwd_flops < 1e11:
         # the TPU eval path lowers the convs as Pallas custom calls, which
         # XLA cost analysis cannot see into (it reports ~32 GF instead of
-        # 258 GF) — use the CPU-measured constant for the same graph
-        from bench import FLOPS_PER_PATCH_BS1
+        # 258 GF) — use the CPU-measured constant for the same graph. The
+        # constant is only valid for the exact config it was measured at;
+        # at any other patch/model size refuse to substitute and report
+        # mfu=0 rather than a silently wrong number.
+        from fcd_tpu.config import get_default_params
 
-        fwd_flops = FLOPS_PER_PATCH_BS1
+        if (params["patch_size"] == 128
+                and params["feature_size"]
+                == get_default_params()["feature_size"]
+                and params["model_type"] == "MS_DSA_NET"):
+            from bench import FLOPS_PER_PATCH_BS1
+
+            fwd_flops = FLOPS_PER_PATCH_BS1
+        else:
+            print("WARNING: cost analysis saw only "
+                  f"{fwd_flops / 1e9:.1f} GF (Pallas custom calls are "
+                  "opaque) and the measured-FLOPs constant only covers "
+                  "the default 128^3/fs-16 MS_DSA_NET config; train MFU "
+                  "will be wrong/underestimated.", flush=True)
     step_flops = 3.0 * fwd_flops * batch
     mfu = step_flops / dt / device_peak_flops()
     print(f"pipelined step (batch {batch}, 128^3): {dt*1000:.0f} ms "

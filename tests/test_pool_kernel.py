@@ -10,13 +10,20 @@ from fcd_tpu.ops.s2d_ops import _pool_max, max_pool_2x_s2d_exit
 from fcd_tpu.kernels.pool import pool_bwd_pallas
 
 
-def test_pool_bwd_kernel_parity_with_ties():
+import pytest
+
+
+@pytest.mark.parametrize("g_dtype", [jnp.float32, jnp.bfloat16])
+def test_pool_bwd_kernel_parity_with_ties(g_dtype):
+    """Both cotangent dtypes: f32 and the production amp path's bf16
+    (the kernel computes the scale in f32 and stores in g's dtype)."""
     rng = np.random.RandomState(0)
     c = 16
     xs = jnp.asarray(rng.randint(0, 4, (2, 6, 6, 6, 8 * c))
                      .astype(np.float32)).astype(jnp.bfloat16)
     m = _pool_max(xs, c)
-    g = jnp.asarray(rng.randn(2, 6, 6, 6, c).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 6, 6, 6, c).astype(np.float32)).astype(
+        g_dtype)
     eqs = [xs[..., i * c:(i + 1) * c] == m for i in range(8)]
     cnt = sum(e.astype(jnp.float32) for e in eqs)
     scale = g.astype(jnp.float32) / cnt
@@ -24,6 +31,7 @@ def test_pool_bwd_kernel_parity_with_ties():
                           -1).astype(xs.dtype)
     got = pool_bwd_pallas(xs, m, g, c,
                           interpret=jax.default_backend() != "tpu")
+    assert got.dtype == xs.dtype
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(ref, np.float32))
 

@@ -41,13 +41,29 @@ def test_emissions_tracker_writes_csv(tmp_path):
     assert tr.final_emissions > 0
     lines = (tmp_path / "e.csv").read_text().strip().splitlines()
     assert lines[0].startswith("timestamp")
-    # the CSV must declare itself an estimate, not a measurement
-    assert "energy_kwh_estimated" in lines[0]
-    assert "emissions_kg_estimated" in lines[0]
-    assert "assumed_power_w" in lines[0]
+    # the CSV must separate the estimated device envelope from the host
+    # component, and declare whether the host was RAPL-measured
+    assert "device_energy_kwh_estimated" in lines[0]
+    assert "host_measurement" in lines[0]
+    assert "assumed_device_power_w" in lines[0]
     assert "estimation_method" in lines[0]
-    assert "100.0W device envelope" in lines[1]
+    assert "100.0W envelope" in lines[1]
+    assert tr.host_method in ("rapl_measured", "estimated")
+    assert tr.host_method in lines[1]
     assert len(lines) == 2
+
+
+def test_rapl_probe_helpers():
+    """read_rapl_uj returns None gracefully when powercap is absent; the
+    wraparound-corrected delta sums per-package joules."""
+    from fcd_tpu.utils.energy import rapl_delta_joules, read_rapl_uj
+
+    r = read_rapl_uj()
+    assert r is None or (isinstance(r, dict) and all(
+        isinstance(v, int) for v in r.values()))
+    before = {"intel-rapl:0": 1_000_000, "intel-rapl:1": 5_000_000}
+    after = {"intel-rapl:0": 3_500_000, "intel-rapl:1": 6_000_000}
+    assert rapl_delta_joules(before, after) == 3.5
 
 
 def test_get_model_flops_runs():
