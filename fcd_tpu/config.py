@@ -124,6 +124,12 @@ def get_default_params() -> Dict[str, Any]:
     # epoch CSV/wandb row (gnorm_*/pnorm_* columns)
     params['log_layer_norms'] = False
 
+    # Performance gates ({FCD_* gate: value}), applied as process defaults
+    # at trainer/CLI startup; explicitly exported FCD_* env vars win.
+    # The full registry (defaults, semantics, status) lives in
+    # fcd_tpu/flags.py — `python -m fcd_tpu.flags` prints the knob table.
+    params['perf_flags'] = {}
+
     return params
 
 

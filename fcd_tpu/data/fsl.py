@@ -20,7 +20,9 @@ import subprocess
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
-MNI152_PATH = os.environ.get("FCD_MNI152_PATH", "./inputs/MNI152_T1_1mm.nii.gz")
+from fcd_tpu import flags as _fcd_flags
+
+MNI152_PATH = _fcd_flags.get("FCD_MNI152_PATH")
 
 _SEARCH = "-searchrx -90 90 -searchry -90 90 -searchrz -90 90"
 

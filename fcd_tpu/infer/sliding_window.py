@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fcd_tpu import flags as _fcd_flags
+
 
 def _exit_d2s(out, out_channels: int):
     """Volume-exit depth_to_space, formulation selected by FCD_SW_EXIT:
@@ -40,7 +42,7 @@ def _exit_d2s(out, out_channels: int):
         depth_to_space_mm,
     )
 
-    form = os.environ.get("FCD_SW_EXIT", "mm")
+    form = _fcd_flags.get("FCD_SW_EXIT")
     if form == "reshape":
         return depth_to_space(out, out_channels)
     if form == "conv":
@@ -249,7 +251,7 @@ def _entry_s2d(volume, *, compute_dtype):
 
     d, h, w, c = (int(v) for v in volume.shape)
     if (jax.default_backend() == "tpu"
-            and os.environ.get("FCD_ENTRY_KERNEL", "0") == "1"
+            and _fcd_flags.get("FCD_ENTRY_KERNEL") == "1"
             and compute_dtype == jnp.bfloat16
             and s2d_entry_supported(d, h, w, c)):
         return s2d_entry(volume, out_dtype=compute_dtype)
@@ -547,10 +549,10 @@ def sliding_window_inference(
 
     import os
 
-    static_grid = os.environ.get("FCD_SW_STATIC", "1") != "0"
+    static_grid = _fcd_flags.get("FCD_SW_STATIC") != "0"
     exit_form = "mm"
     if (flat_output and s2d_logits and static_grid and not any(pad)
-            and os.environ.get("FCD_SW_FLAT_EXIT", "1") != "0"):
+            and _fcd_flags.get("FCD_SW_FLAT_EXIT") != "0"):
         from fcd_tpu.kernels.d2s_exit import d2s_exit_supported
 
         if d2s_exit_supported(pd // 2, ph // 2, pw // 2, out_channels):
@@ -575,7 +577,7 @@ def sliding_window_inference(
         starts_t, valid_t = _host_grid((pd, ph, pw), roi_size, overlap,
                                        sw_batch)
         sw_fn = (_sliding_window_jit_static_stdlayout()
-                 if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
+                 if _fcd_flags.get("FCD_SW_OUT_LAYOUT") == "std"
                  else _sliding_window_jit_static)
         vol_pre_s2d = exit_form == "pallas" and patch_s2d
         vol_in = (_entry_s2d(padded, compute_dtype=compute_dtype)
@@ -601,7 +603,7 @@ def sliding_window_inference(
         starts_dev, valid_dev = _device_grid((pd, ph, pw), roi_size,
                                              overlap, sw_batch)
         sw_fn = (_sliding_window_jit_stdlayout()
-                 if os.environ.get("FCD_SW_OUT_LAYOUT", "") == "std"
+                 if _fcd_flags.get("FCD_SW_OUT_LAYOUT") == "std"
                  else _sliding_window_jit)
         out = sw_fn(
             padded,

@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fcd_tpu import flags as _fcd_flags
+
 
 def make_blocked_weights(w: jnp.ndarray) -> jnp.ndarray:
     """(3,3,3,Cin,Cout) -> (8, 8*Cin, 8*Cout): per-shift GEMM weights.
@@ -603,7 +605,7 @@ def _conv8_paired() -> bool:
     into 4 aligned GEMMs with a 2x8c contraction (identical MACs)."""
     import os
 
-    return os.environ.get("FCD_CONV8_PAIRED", "0") == "1"
+    return _fcd_flags.get("FCD_CONV8_PAIRED") == "1"
 
 
 def pair_w_lanes(xp: jnp.ndarray) -> jnp.ndarray:
@@ -1018,7 +1020,7 @@ def _pick_kd(d_out, n_parts, h_in, w_in, c8_max, h_out, w_out, cout8,
     input rows, cutting kernel input DMA from 2 to (kd+1)/kd per row."""
     import os
 
-    if os.environ.get("FCD_CONV8_KD", "1") == "0":
+    if _fcd_flags.get("FCD_CONV8_KD") == "0":
         return 1
     hp = h_in + 2 if vmem_halo else h_in
     wp = w_pad_to if vmem_halo else w_in
@@ -1043,7 +1045,7 @@ def _a2o_vmem_halo() -> bool:
     XLA-side pad formulations (see _halo_pad)."""
     import os
 
-    return os.environ.get("FCD_A2O_PAD", "vmem") == "vmem"
+    return _fcd_flags.get("FCD_A2O_PAD") == "vmem"
 
 
 def _conv8_vpair() -> bool:
@@ -1053,7 +1055,7 @@ def _conv8_vpair() -> bool:
     HBM DMA."""
     import os
 
-    return os.environ.get("FCD_CONV8_VPAIR", "1") == "1"
+    return _fcd_flags.get("FCD_CONV8_VPAIR") == "1"
 
 
 def _conv8_dualacc() -> bool:
@@ -1064,7 +1066,7 @@ def _conv8_dualacc() -> bool:
     multi-part decoder kernels whose misaligned sx=1 slices Mosaic copies."""
     import os
 
-    return os.environ.get("FCD_CONV8_DUALACC", "0") == "1"
+    return _fcd_flags.get("FCD_CONV8_DUALACC") == "1"
 
 
 def _a2o_carry() -> bool:
@@ -1072,7 +1074,7 @@ def _a2o_carry() -> bool:
     row once and carry it across the sequential grid in VMEM scratch."""
     import os
 
-    return os.environ.get("FCD_CONV8_CARRY", "0") == "1"
+    return _fcd_flags.get("FCD_CONV8_CARRY") == "1"
 
 
 def _depth_pad(xs: jnp.ndarray) -> jnp.ndarray:
@@ -1116,7 +1118,7 @@ def _halo_pad(xs: jnp.ndarray, w_in: int) -> jnp.ndarray:
     import os
 
     b, d2, h2, w2, c8 = xs.shape
-    form = os.environ.get("FCD_A2O_PAD", "pad")
+    form = _fcd_flags.get("FCD_A2O_PAD")
     if form == "dus":
         buf = jnp.zeros((b, d2 + 2, h2 + 2, w_in, c8), xs.dtype)
         return jax.lax.dynamic_update_slice(buf, xs, (0, 1, 1, 1, 0))

@@ -18,6 +18,8 @@ from fcd_tpu.ops.attention import TransformerBlock
 from fcd_tpu.ops.blocks import GeneralUnetrUpBlock, UnetrBasicBlock, UnetrUpBlock
 from fcd_tpu.ops.layers import Conv3d, GroupNorm, max_pool_2x
 
+from fcd_tpu import flags as _fcd_flags
+
 
 def _triple(x) -> Tuple[int, int, int]:
     if isinstance(x, (tuple, list)):
@@ -269,8 +271,8 @@ class _MSDSACore(nn.Module):
         # lose more than the saved XLA finale/head passes and layout flips.
         fuse_head = (
             use_s2d1 and not train and not self.use_bias
-            and _os.environ.get("FCD_FUSED_BLOCK", "1") != "0"
-            and _os.environ.get("FCD_FUSED_HEAD", "0") != "0"
+            and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
+            and _fcd_flags.get("FCD_FUSED_HEAD") != "0"
         )
         if fuse_head:
             from fcd_tpu.ops.s2d_ops import from_s2d

@@ -26,6 +26,8 @@ from flax import linen as nn
 from fcd_tpu.ops.blocks import MLPBlock, UnetResBlock
 from fcd_tpu.ops.layers import Conv3d, Dense, LayerNorm, uniform_scale_init
 
+from fcd_tpu import flags as _fcd_flags
+
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
     # smooth rsqrt form: finite gradient even at x == 0 (which occurs when a
@@ -38,7 +40,7 @@ def _fused_dsa_enabled() -> bool:
     """Fused Pallas DSA kernel gate (same pattern as FCD_S2D/FCD_FAST_CONV)."""
     import os
 
-    if os.environ.get("FCD_FUSED_DSA", "1") == "0":
+    if _fcd_flags.get("FCD_FUSED_DSA") == "0":
         return False
     return jax.default_backend() == "tpu"
 
@@ -135,7 +137,7 @@ class DSA(nn.Module):
         if b_qkvv is not None:
             qkvv = qkvv + b_qkvv.astype(qkvv.dtype)
 
-        if _os.environ.get("FCD_DSA_V2", "1") != "0":
+        if _fcd_flags.get("FCD_DSA_V2") != "0":
             return finish(_dsa_tokens_resident(
                 qkvv, ef, temperature, temperature2, h, c,
                 self.sa_type, drop_ca=nn.Dropout(

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fcd_tpu import flags as _fcd_flags
 from fcd_tpu.ops.layers import (
     Conv3d,
     ConvTranspose3d,
@@ -40,10 +41,10 @@ def _s2d_block_eligible(dims, cin, cout, kernel_size, stride, norm_name,
 
     import jax as _jax
 
-    if os.environ.get("FCD_S2D", "1") == "0":
+    if _fcd_flags.get("FCD_S2D") == "0":
         return False
-    if taps == 8 and (os.environ.get("FCD_CONV8", "1") == "0"
-                      or os.environ.get("FCD_FUSED_BLOCK", "1") == "0"):
+    if taps == 8 and (_fcd_flags.get("FCD_CONV8") == "0"
+                      or _fcd_flags.get("FCD_FUSED_BLOCK") == "0"):
         return False
     if _jax.default_backend() != "tpu" or dtype != jnp.bfloat16:
         return False
@@ -66,7 +67,7 @@ def _pair_train_ok(norm_name: str) -> bool:
     import os
 
     return (norm_name == "instance"
-            and os.environ.get("FCD_CONV8_TRAIN", "1") != "0")
+            and _fcd_flags.get("FCD_CONV8_TRAIN") != "0")
 
 
 def _taps8_executor_ok(train: bool, norm_name: str) -> bool:
@@ -76,7 +77,7 @@ def _taps8_executor_ok(train: bool, norm_name: str) -> bool:
     import os
 
     fused_eval = (not train
-                  and os.environ.get("FCD_FUSED_BLOCK", "1") != "0")
+                  and _fcd_flags.get("FCD_FUSED_BLOCK") != "0")
     return fused_eval or _pair_train_ok(norm_name)
 
 
@@ -125,7 +126,7 @@ class UnetResBlock(nn.Module):
         # instead of ~10 memory passes). Forward-only — training keeps the
         # differentiable composition below.
         if (not train and not self.use_bias
-                and os.environ.get("FCD_FUSED_BLOCK", "1") != "0"):
+                and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"):
             from fcd_tpu.ops.layers import BatchNorm
             from fcd_tpu.ops.s2d_ops import fused_resblock_eval
 
@@ -186,7 +187,7 @@ class UnetResBlock(nn.Module):
         use_pair = (
             not self.use_bias
             and self.norm_name == "instance"
-            and os.environ.get("FCD_CONV8_TRAIN", "1") != "0"
+            and _fcd_flags.get("FCD_CONV8_TRAIN") != "0"
             and all(s2d_supported(dense_dims, c, oc, taps=8)
                     for _, c in parts)
             and s2d_supported(dense_dims, oc, oc, taps=8)
@@ -223,7 +224,7 @@ class UnetResBlock(nn.Module):
                 off += c
             w2k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
                             dtype=self.dtype)(return_kernel_for=oc)
-            if os.environ.get("FCD_CONV8_STATS", "1") != "0":
+            if _fcd_flags.get("FCD_CONV8_STATS") != "0":
                 # kernels accumulate the instance-norm sums alongside the
                 # conv output: the norms' two full-tensor reduction passes
                 # never run in XLA (~3 ms/step at batch 4x128^3)

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fcd_tpu import flags as _fcd_flags
+
 Dtype = Any
 
 
@@ -241,7 +243,7 @@ def _fast_conv_enabled() -> bool:
     # to enable.
     import os
 
-    return os.environ.get("FCD_FAST_CONV", "0") == "1"
+    return _fcd_flags.get("FCD_FAST_CONV") == "1"
 
 
 class Conv3d(nn.Module):

@@ -22,6 +22,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from fcd_tpu import flags as _fcd_flags
 from fcd_tpu.kernels.block_conv import (
     _blocked_conv_s2d,
     depth_to_space,
@@ -92,7 +93,7 @@ def _conv_form() -> str:
     """
     import os
 
-    return os.environ.get("FCD_S2D_CONV", "padded27")
+    return _fcd_flags.get("FCD_S2D_CONV")
 
 
 def _conv3x3_s2d_fwd_impl(xs, w, out_dtype):
@@ -206,7 +207,7 @@ def _pool_max(xs, c):
     import os
 
     if (jax.default_backend() == "tpu"
-            and os.environ.get("FCD_POOL_FWD_KERNEL", "1") != "0"):
+            and _fcd_flags.get("FCD_POOL_FWD_KERNEL") != "0"):
         from fcd_tpu.kernels.pool import pool_fwd_pallas, pool_fwd_supported
 
         if pool_fwd_supported(xs.shape[2], xs.shape[3], c):
@@ -227,7 +228,7 @@ def _pool_bwd(c, res, g):
     import os
 
     if (jax.default_backend() == "tpu"
-            and os.environ.get("FCD_POOL_BWD_KERNEL", "1") != "0"):
+            and _fcd_flags.get("FCD_POOL_BWD_KERNEL") != "0"):
         from fcd_tpu.kernels.pool import pool_bwd_pallas, pool_bwd_supported
 
         if pool_bwd_supported(xs.shape[2], xs.shape[3], c):
@@ -532,7 +533,7 @@ def _upsample_s2d_impl(ys, cin, w):
     # reshape is a real copy. Kept gated off as the parity-tested basis
     # for a future upsample+conv fusion.
     if (jax.default_backend() == "tpu"
-            and os.environ.get("FCD_UP_KERNEL", "0") == "1"):
+            and _fcd_flags.get("FCD_UP_KERNEL") == "1"):
         from fcd_tpu.kernels.upsample import (
             upsample_pallas_supported,
             upsample_s2d_pallas,
@@ -780,7 +781,7 @@ def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
     """
     import os
 
-    if os.environ.get("FCD_CONV8", "1") != "0":
+    if _fcd_flags.get("FCD_CONV8") != "0":
         return _fused_resblock_eval8(parts, w1, w2, wres, oc, slope,
                                      norm_name, bn_affines, out_dtype,
                                      head=head)

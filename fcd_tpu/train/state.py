@@ -18,6 +18,8 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
+from fcd_tpu import flags as _fcd_flags
+
 
 class TrainState(struct.PyTreeNode):
     params: Any
@@ -102,7 +104,7 @@ def make_train_step(
     assert not (s2d_input and not wrap_jit)
     import os as _os
 
-    if s2d_input and _os.environ.get("FCD_IMAGE_PREJIT", "1") == "0":
+    if s2d_input and _fcd_flags.get("FCD_IMAGE_PREJIT") == "0":
         s2d_input = False
 
     def step_fn(state: TrainState, image, label, lr, rng, thickness=None,
@@ -160,7 +162,7 @@ def make_train_step(
     jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
     import os
 
-    pre_label = s2d_loss and os.environ.get("FCD_LABEL_PREJIT", "1") != "0"
+    pre_label = s2d_loss and _fcd_flags.get("FCD_LABEL_PREJIT") != "0"
     pre_image = s2d_input
     if not (pre_label or pre_image):
         return jitted
@@ -221,7 +223,7 @@ def _image_s2d_jit(image, dtype):
 
     b, d, h, w, c = (int(v) for v in image.shape)
     if (jax.default_backend() == "tpu" and dtype == jnp.bfloat16
-            and os.environ.get("FCD_ENTRY_KERNEL", "0") == "1"
+            and _fcd_flags.get("FCD_ENTRY_KERNEL") == "1"
             and s2d_entry_supported(d, h, w, c)):
         out = s2d_entry(image.reshape(b * d, h, w, c), out_dtype=dtype)
         return out.reshape(b, d // 2, h // 2, w // 2, 8 * c)

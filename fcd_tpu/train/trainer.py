@@ -28,6 +28,7 @@ from fcd_tpu.models.factory import count_params, get_model, init_model
 from fcd_tpu.postproc.segment import post_process_prediction
 from fcd_tpu.train import checkpoint as ckpt
 from fcd_tpu.train.schedule import epoch_lr
+from fcd_tpu import flags as _fcd_flags
 from fcd_tpu.train.state import (
     create_train_state,
     make_eval_fn,
@@ -60,6 +61,7 @@ class ModelTrainer:
     def __init__(self, params: Dict[str, Any], verbose: bool = True):
         self.params = params
         self.verbose = verbose
+        _fcd_flags.apply_perf_flags(params.get("perf_flags"))
         self.val_interval = 1
         # determinism modes (train_utils.py:5-28 analogue): JAX is seeded via
         # explicit PRNG keys; 'strict' additionally pins matmul precision so
@@ -389,7 +391,7 @@ class ModelTrainer:
         all_labels: List[np.ndarray] = []
         fcd_idx = 0 if self.params["chans_out"] == 1 else 1
         finish = self._eval_finish_fn()
-        window = max(int(os.environ.get("FCD_EVAL_QUEUE", "4")), 1)
+        window = max(int(_fcd_flags.get("FCD_EVAL_QUEUE")), 1)
         pending = deque()
 
         def drain():
