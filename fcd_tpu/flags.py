@@ -97,6 +97,13 @@ FLAGS: Dict[str, Flag] = {
         "block's finale kernel. A/B: 6.97 vs 7.36 vol/s (16-lane store "
         "loses more than the saved passes).", status="dead-end",
         tested="test_s2d_blocks::test_fused_head_parity"),
+    "FCD_PAD_CHAIN": Flag(
+        "1", "Padded-depth chain on the eval path: producers (fused "
+        "finales, the Pallas upsample, to_s2d entries) emit s2d tensors "
+        "with their (+1, +1) zero depth pad in-pass; a2o/pool kernels "
+        "consume them directly — the standalone depth-pad ops and the "
+        "upsample d2s regroup copies disappear. Off = per-consumer pads.",
+        tested="test_s2d_blocks::test_pad_chain_parity"),
     "FCD_FUSED_DSA": Flag(
         "1", "Fused Pallas DSA attention kernel at eval (LayerNorm + "
         "qkvv + both attention branches); off = einsum path.",

@@ -1147,7 +1147,7 @@ def _halo_pad(xs: jnp.ndarray, w_in: int) -> jnp.ndarray:
 
 def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
                      want_stats: bool = False, out_dtype=jnp.bfloat16,
-                     interpret: bool = False):
+                     interpret: bool = False, pre_padded: bool = False):
     """Aligned s2d (B, D2, H2, W2, 8cin) -> offset-blocked
     (B, D2+1, H2+1, pad8(W2+1), 8cout), 8-tap half-offset kernel, pad-slot
     lanes zeroed. Returns (y[, ysum, ysumsq]).
@@ -1157,15 +1157,26 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
     operands — is padded so the OUTPUT width is a multiple of 8: Mosaic
     then flattens (h, w, c) operands without copies. The extra output
     columns compute from zero-padding only, so they are exact zeros
-    (stats-safe); consumers index real blocks 0..W2."""
+    (stats-safe); consumers index real blocks 0..W2.
+
+    pre_padded: the input already carries the (+1, +1) zero depth pad
+    (B, D2+2, ...) — the padded-chain convention where PRODUCERS emit the
+    depth halo inside their own (fused/free) pass, deleting the ~0.85 ms
+    near-fixed standalone pad op per tensor (see flags.FCD_PAD_CHAIN)."""
     bsz, d2, h2, w2, _ = xs.shape
+    if pre_padded:
+        d2 -= 2
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     paired = _conv8_paired()
     dualacc = _conv8_dualacc() and not paired
     vpair = _conv8_vpair() and not paired and not dualacc
     vmem_halo = _a2o_vmem_halo() and not paired
-    xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
+    if pre_padded:
+        xp = (xs if vmem_halo
+              else _halo_pad_hw(xs, w_in))
+    else:
+        xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
     if paired:
         xp = pair_w_lanes(xp)
     if paired or vpair:
@@ -1183,9 +1194,18 @@ def blocked_conv_a2o(xs: jnp.ndarray, wblk8: jnp.ndarray, *,
     )
 
 
+def _halo_pad_hw(xs: jnp.ndarray, w_in: int) -> jnp.ndarray:
+    """H/W halo (+ W sublane alignment) for an input that ALREADY carries
+    the (+1, +1) zero depth pad (the padded-chain convention feeding the
+    legacy XLA-halo kernel forms)."""
+    w2 = xs.shape[3]
+    return jnp.pad(xs, ((0, 0), (0, 0), (1, 1), (1, w_in - 1 - w2), (0, 0)))
+
+
 def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
                            res_wblk_list=None, want_res_stats: bool = False,
-                           out_dtype=jnp.bfloat16, interpret: bool = False):
+                           out_dtype=jnp.bfloat16, interpret: bool = False,
+                           pre_padded=None):
     """Multi-part blocked_conv_a2o: one kernel convolves every aligned-s2d
     part (same spatial grid, channel counts may differ) with its own
     weights and sums the results in the accumulator — the single-pass form
@@ -1197,8 +1217,14 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     also emits the summed projection shortcut on the ALIGNED grid (sharing
     the input reads), returned as (B, d2+1, h2, w2, 8oc) whose LAST depth
     row computes from the zero halo; callers use res[:, :d2].
+    pre_padded: per-part bools — those parts already carry the (+1, +1)
+    zero depth pad (padded-chain convention, see blocked_conv_a2o).
     Returns (y[, ysum, ysq][, res[, rsum, rsq]])."""
-    bsz, d2, h2, w2, _ = xs_list[0].shape
+    if pre_padded is None:
+        pre_padded = [False] * len(xs_list)
+    bsz = xs_list[0].shape[0]
+    d2 = xs_list[0].shape[1] - (2 if pre_padded[0] else 0)
+    h2, w2 = xs_list[0].shape[2:4]
     w_out = _pad8(w2 + 1)
     w_in = _pad8(w_out + 1)
     paired = _conv8_paired()
@@ -1209,8 +1235,13 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     vpair = (_conv8_vpair() and not paired and not dualacc
              and len(xs_list) == 1)
     vmem_halo = _a2o_vmem_halo() and not paired
-    pad = _depth_pad if vmem_halo else (lambda xs: _halo_pad(xs, w_in))
-    xps = [pad(xs) for xs in xs_list]
+
+    def pad(xs, pre):
+        if pre:
+            return xs if vmem_halo else _halo_pad_hw(xs, w_in)
+        return _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
+
+    xps = [pad(xs, pre) for xs, pre in zip(xs_list, pre_padded)]
     wblks = list(wblk8_list)
     if paired:
         xps = [pair_w_lanes(x) for x in xps]

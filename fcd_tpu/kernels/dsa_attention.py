@@ -268,6 +268,8 @@ def dsa_fused(
             jax.ShapeDtypeStruct((b, c, p), jnp.float32),
             jax.ShapeDtypeStruct((b, c, p), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*tok_inputs, w_b, ef_b)
 
@@ -325,6 +327,8 @@ def dsa_fused(
         out_specs=pl.BlockSpec((1, tile, c), lambda bb, t: (bb, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*tok_inputs, *res_inputs, w_b,
       qn_row.astype(jnp.float32),

@@ -94,16 +94,26 @@ def _make_pool_fwd_kernel(c: int):
 
 
 def pool_fwd_pallas(xs: jnp.ndarray, c: int, *,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    interior: bool = False) -> jnp.ndarray:
     """Forward of the s2d-exit max pool: max over the 8 parity lane groups
     via the full-lane rotation tree. XLA's slice-maximum fusion lowers the
     c-wide lane slices at c/128 vector efficiency (~3.3 ms at the level-1
     train shape; this kernel is one read + one write per row).
     (B, d2, h2, w2, 8c) -> (B, d2, h2, w2, c), bit-identical to
-    s2d_ops._pool_max."""
+    s2d_ops._pool_max.
+
+    interior: the input carries the padded-chain (+1, +1) zero depth pad
+    (B, d2+2, ...); the kernel reads rows 1..d2 via its index map — the
+    pad costs nothing here."""
     b, d2, h2, w2, c8 = xs.shape
+    if interior:
+        d2 -= 2
 
     def row(bb, z):
+        return (bb, z + 1, 0, 0, 0) if interior else (bb, z, 0, 0, 0)
+
+    def orow(bb, z):
         return (bb, z, 0, 0, 0)
 
     return pl.pallas_call(
@@ -112,7 +122,7 @@ def pool_fwd_pallas(xs: jnp.ndarray, c: int, *,
         in_specs=[
             pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h2, w2, c), row,
+        out_specs=pl.BlockSpec((1, 1, h2, w2, c), orow,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d2, h2, w2, c), xs.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -105,6 +105,118 @@ def upsample_s2d_pallas(ys: jnp.ndarray, wm: jnp.ndarray, cin: int,
     return out.reshape(b, 2 * d4, 2 * h4, 2 * w4, co8)
 
 
+def _make_up_pad_kernel(h4: int, w4: int, ci: int, co8: int, d4: int,
+                        has_bias: bool):
+    """Program z writes fine buffer rows (2z, 2z+1) = fine depth rows
+    (2z-1, 2z) of the PADDED fine tensor: fine row 2z-1 is parity pz=1 of
+    coarse s2d row z-1 (slab_prev), fine row 2z is pz=0 of coarse row z
+    (slab_cur). The first/last buffer rows are the zero depth pad.
+
+    Per row: one GEMM per (py, px) quad against wq[g] (8ci, co8) — full
+    contraction width, zero rows outside the g-block — then the parity
+    interleave (h4, 2, w4, 2, co8) -> (h2, w2, co8) as an in-VMEM
+    reshape (Mosaic compiles this; verified exact on v5e)."""
+
+    def kernel(*refs):
+        prev_ref, cur_ref, wq_ref = refs[0], refs[1], refs[2]
+        idx = 3
+        bias_ref = None
+        if has_bias:
+            bias_ref = refs[idx]
+            idx += 1
+        out_ref = refs[idx]
+        z = pl.program_id(1)
+
+        def fine_row(slab, pz):
+            quads = []
+            for py in range(2):
+                pair = []
+                for px in range(2):
+                    g = 4 * pz + 2 * py + px
+                    t = jax.lax.dot_general(
+                        slab, wq_ref[g], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                   # (h4, w4, co8)
+                    if has_bias:
+                        t = t + bias_ref[0]
+                    pair.append(t)
+                quads.append(jnp.stack(pair, axis=2))    # (h4, w4, 2, co8)
+            v = jnp.stack(quads, axis=1)                 # (h4, 2, w4, 2, co8)
+            return v.reshape(2 * h4, 2 * w4, co8).astype(out_ref.dtype)
+
+        out_ref[0, 0] = fine_row(prev_ref[0, 0], 1)
+        out_ref[0, 1] = fine_row(cur_ref[0, 0], 0)
+
+        @pl.when(z == 0)
+        def _():
+            out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+        @pl.when(z == d4)
+        def _():
+            out_ref[0, 1] = jnp.zeros_like(out_ref[0, 1])
+
+    return kernel
+
+
+def upsample_s2d_pad(ysp: jnp.ndarray, wm: jnp.ndarray, cin: int,
+                     cout: int, bias=None, *, out_dtype=jnp.bfloat16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Padded-chain s2d upsample: PADDED coarse s2d (B, d4+2, h4, w4, 8ci)
+    with zero depth edges -> PADDED fine s2d (B, 2*d4+2, 2*h4, 2*w4, 8co)
+    with zero depth edges, one Pallas pass. wm: (cin, 8*cout) flipped
+    kernel matrix (ops.s2d_ops._upsample_wm). The consumer (a2o with the
+    vmem-halo form) reads the output directly — neither the fine-grid
+    depth pad nor the XLA d2s regroup copies ever run."""
+    b, d4p, h4, w4, c8 = ysp.shape
+    d4 = d4p - 2
+    co8 = 8 * cout
+    wq = jnp.zeros((8, c8, co8), wm.dtype)
+    for g in range(8):
+        wq = wq.at[g, g * cin:(g + 1) * cin, :].set(wm)
+    wq = wq.astype(jnp.bfloat16)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, h4, w4, c8), lambda bb, z: (bb, z, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h4, w4, c8), lambda bb, z: (bb, z + 1, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, c8, co8), lambda bb, z: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [ysp.astype(jnp.bfloat16), ysp.astype(jnp.bfloat16), wq]
+    has_bias = bias is not None
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, co8), lambda bb, z: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.tile(bias.astype(jnp.float32), 8)[None])
+
+    out = pl.pallas_call(
+        _make_up_pad_kernel(h4, w4, cin, co8, d4, has_bias),
+        grid=(b, d4 + 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, 2 * h4, 2 * w4, co8),
+                               lambda bb, z: (bb, z, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * d4 + 2, 2 * h4, 2 * w4, co8),
+                                       out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
+def upsample_pad_supported(h4: int, w4: int, cin: int, cout: int) -> bool:
+    """VMEM bound for the per-program working set: two coarse slabs, the
+    f32 GEMM quads, and the 2-row fine out block, double-buffered."""
+    c8, co8 = 8 * cin, 8 * cout
+    slab = h4 * max(w4, 8) * max(c8, 128) * 2
+    quads = 8 * h4 * max(w4, 8) * max(co8, 128) * 4
+    outb = 2 * 4 * h4 * max(w4, 8) * max(co8, 128) * 2
+    wqb = 8 * c8 * max(co8, 128) * 2
+    return 2 * (2 * slab) + quads + 2 * outb + wqb < 80 * 1024 * 1024
+
+
 def upsample_pallas_supported(h4: int, w4: int, cin: int, cout: int) -> bool:
     """VMEM bound for the per-row working set (bf16 slab + f32 GEMM
     temps + the fine out block, double-buffered)."""

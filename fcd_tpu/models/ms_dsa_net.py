@@ -119,13 +119,15 @@ class _MSDSACore(nn.Module):
             cin = x.shape[-1]
             full = x.shape[1:4]
 
-        def encoder(feats, inp, emit_s2d=False, s2d_parts=None):
+        def encoder(feats, inp, emit_s2d=False, s2d_parts=None,
+                    emit_pad=False):
             return UnetrBasicBlock(
                 out_channels=feats, kernel_size=3, stride=1,
                 norm_name=self.norm_name, act_name=self.act_name,
                 res_block=self.res_block, use_bias=self.use_bias,
                 dtype=self.dtype,
-            )(inp, train=train, emit_s2d=emit_s2d, s2d_parts=s2d_parts)
+            )(inp, train=train, emit_s2d=emit_s2d, s2d_parts=s2d_parts,
+              emit_pad=emit_pad)
 
         # s2d residency for the two full/half-resolution levels (HBM-bound on
         # lane padding): encoders emit s2d, skips stay s2d all the way to the
@@ -145,22 +147,39 @@ class _MSDSACore(nn.Module):
             x = from_s2d(x, cin)
             x_is_s2d = False
 
+        # padded-chain eval (FCD_PAD_CHAIN): s2d tensors between blocks
+        # carry a (+1, +1) zero depth pad emitted inside their producers'
+        # fused passes; the a2o/pool kernels consume it directly, so the
+        # ~0.85 ms near-fixed standalone depth-pad ops disappear
+        pad_chain = (
+            not train
+            and not self.use_bias
+            and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
+            and _fcd_flags.get("FCD_PAD_CHAIN") != "0"
+        )
+        from fcd_tpu.ops.s2d_ops import max_pool_2x_s2d_exit_pad
+
         x1s = x2s = None
+        pad1 = pad_chain and use_s2d1
+        pad2 = pad_chain and use_s2d2
         if use_s2d1:
             if x_is_s2d:
-                x1s = encoder(fs, None, emit_s2d=True, s2d_parts=[(x, cin)])
+                x1s = encoder(fs, None, emit_s2d=True, s2d_parts=[(x, cin)],
+                              emit_pad=pad1)
             else:
-                x1s = encoder(fs, x, emit_s2d=True)
+                x1s = encoder(fs, x, emit_s2d=True, emit_pad=pad1)
             x1 = None
-            pool1 = max_pool_2x_s2d_exit(x1s, fs)
+            pool1 = (max_pool_2x_s2d_exit_pad(x1s, fs) if pad1
+                     else max_pool_2x_s2d_exit(x1s, fs))
         else:
             x1 = encoder(fs, x)
             pool1 = max_pool_2x(x1)
 
         if use_s2d2:
-            x2s = encoder(fs * 2, pool1, emit_s2d=True)
+            x2s = encoder(fs * 2, pool1, emit_s2d=True, emit_pad=pad2)
             x2 = None
-            pool2 = max_pool_2x_s2d_exit(x2s, fs * 2)
+            pool2 = (max_pool_2x_s2d_exit_pad(x2s, fs * 2) if pad2
+                     else max_pool_2x_s2d_exit(x2s, fs * 2))
         else:
             x2 = encoder(fs * 2, pool1)
             pool2 = max_pool_2x(x2)
@@ -207,7 +226,8 @@ class _MSDSACore(nn.Module):
         t6 = embed_and_attend(x6, fs * 16, fs * 8, 32, 32)
 
         def decoder(feats, inp, skip, skip_s2d=None, x_s2d=None,
-                    emit_s2d=False, head=None):
+                    emit_s2d=False, head=None, x_padded=False,
+                    skip_padded=False, emit_pad=False):
             if self.upsample_mode is None:
                 return UnetrUpBlock(
                     out_channels=feats, kernel_size=3, upsample_kernel_size=2,
@@ -215,7 +235,8 @@ class _MSDSACore(nn.Module):
                     res_block=self.res_block, use_bias=self.use_bias,
                     dtype=self.dtype,
                 )(inp, skip, train=train, skip_s2d=skip_s2d, x_s2d=x_s2d,
-                  emit_s2d=emit_s2d, head=head)
+                  emit_s2d=emit_s2d, head=head, x_padded=x_padded,
+                  skip_padded=skip_padded, emit_pad=emit_pad)
             return GeneralUnetrUpBlock(
                 out_channels=feats, kernel_size=3,
                 norm_name=self.norm_name, act_name=self.act_name,
@@ -248,17 +269,23 @@ class _MSDSACore(nn.Module):
         chain54, chain43 = cap5 and cap4, cap4 and cap3
         chain32, chain21 = cap3 and cap2, cap2 and cap1
 
-        y5 = decoder(fs * 8, t6, t5, emit_s2d=chain54)
+        p54 = pad_chain and chain54
+        p43 = pad_chain and chain43
+        p32 = pad_chain and chain32
+        p21 = pad_chain and chain21
+        y5 = decoder(fs * 8, t6, t5, emit_s2d=chain54, emit_pad=p54)
         y4 = decoder(fs * 4, None if chain54 else y5, t4,
                      x_s2d=(y5, fs * 8) if chain54 else None,
-                     emit_s2d=chain43)
+                     x_padded=p54, emit_s2d=chain43, emit_pad=p43)
         y3 = decoder(fs * 2, None if chain43 else y4, t3,
                      x_s2d=(y4, fs * 4) if chain43 else None,
-                     emit_s2d=chain32)
+                     x_padded=p43, emit_s2d=chain32, emit_pad=p32)
         y2 = decoder(fs * 2, None if chain32 else y3, x2,
                      x_s2d=(y3, fs * 2) if chain32 else None,
+                     x_padded=p32,
                      skip_s2d=(x2s, fs * 2) if use_s2d2 else None,
-                     emit_s2d=chain21)
+                     skip_padded=pad2,
+                     emit_s2d=chain21, emit_pad=p21)
 
         head = Conv3d(self.out_channels, kernel_size=1, use_bias=True,
                       dtype=self.dtype)
@@ -280,7 +307,8 @@ class _MSDSACore(nn.Module):
             wh, bh = head(return_kernel_for=fs)
             logits_s2d = decoder(fs * 1, None if chain21 else y2, x1,
                                  x_s2d=(y2, fs * 2) if chain21 else None,
-                                 skip_s2d=(x1s, fs),
+                                 x_padded=p21,
+                                 skip_s2d=(x1s, fs), skip_padded=pad1,
                                  emit_s2d=True, head=(wh, bh))
             if emit_s2d_logits:
                 return logits_s2d
@@ -288,7 +316,9 @@ class _MSDSACore(nn.Module):
 
         y1 = decoder(fs * 1, None if chain21 else y2, x1,
                      x_s2d=(y2, fs * 2) if chain21 else None,
+                     x_padded=p21,
                      skip_s2d=(x1s, fs) if use_s2d1 else None,
+                     skip_padded=pad1,
                      emit_s2d=use_s2d1)
 
         if use_s2d1:

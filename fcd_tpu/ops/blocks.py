@@ -108,7 +108,7 @@ class UnetResBlock(nn.Module):
         return 0.01
 
     def _s2d_forward(self, parts, train: bool, emit_s2d: bool = False,
-                     head=None):
+                     head=None, emit_pad: bool = False):
         import os
 
         from fcd_tpu.ops.s2d_ops import (
@@ -120,7 +120,9 @@ class UnetResBlock(nn.Module):
 
         slope = self._neg_slope()
         oc = self.out_channels
-        cin_total = sum(c for _, c in parts)
+        # padded-chain parts: (xs, c) or (xs, c, pre_padded)
+        parts = [p if len(p) == 3 else (p[0], p[1], False) for p in parts]
+        cin_total = sum(c for _, c, _ in parts)
 
         # eval: fully kernel-fused block (3 fused conv passes + 1 elementwise
         # instead of ~10 memory passes). Forward-only — training keeps the
@@ -156,12 +158,16 @@ class UnetResBlock(nn.Module):
                 out_dtype=jnp.bfloat16 if self.dtype == jnp.bfloat16
                 else jnp.float32,
                 head=head,
+                emit_pad=emit_pad and emit_s2d and head is None,
             )
             if head is not None:
                 return out  # s2d logits — caller owns the exit layout
             if emit_s2d:
                 return out
             return from_s2d(out, oc)
+
+        # the composed/train paths consume the interior view of padded parts
+        parts = [(xs[:, 1:-1] if pre else xs, c) for xs, c, pre in parts]
 
         if self.norm_name == "batch":
             from fcd_tpu.ops.layers import BatchNorm
@@ -272,16 +278,19 @@ class UnetResBlock(nn.Module):
                 out = out + jnp.tile(bhb, 8).astype(out.dtype)
             return out
         if emit_s2d:
+            if emit_pad:
+                out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
             return out
         return from_s2d(out, oc)
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
-                 emit_s2d: bool = False, head=None):
+                 emit_s2d: bool = False, head=None, emit_pad: bool = False):
         from fcd_tpu.ops.s2d_ops import to_s2d
 
         if s2d_parts is not None:
-            return self._s2d_forward(s2d_parts, train, emit_s2d, head=head)
+            return self._s2d_forward(s2d_parts, train, emit_s2d, head=head,
+                                     emit_pad=emit_pad)
 
         in_channels = x.shape[-1]
         elig = _s2d_block_eligible(
@@ -302,7 +311,16 @@ class UnetResBlock(nn.Module):
             )
         if elig:
             xs = to_s2d(x.astype(jnp.bfloat16))
-            return self._s2d_forward([(xs, in_channels)], train, emit_s2d)
+            if (not train and not self.use_bias
+                    and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
+                    and _fcd_flags.get("FCD_PAD_CHAIN") != "0"):
+                # padded-chain entry: the pad rides the to_s2d regroup
+                # (elementwise producer) instead of a standalone pass
+                xs = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+                return self._s2d_forward([(xs, in_channels, True)], train,
+                                         emit_s2d, emit_pad=emit_pad)
+            return self._s2d_forward([(xs, in_channels)], train, emit_s2d,
+                                     emit_pad=emit_pad)
 
         act = make_act(self.act_name)
         out = Conv3d(self.out_channels, self.kernel_size, self.stride,
@@ -366,7 +384,7 @@ class UnetrBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
-                 emit_s2d: bool = False):
+                 emit_s2d: bool = False, emit_pad: bool = False):
         cls = UnetResBlock if self.res_block else UnetBasicBlock
         block = cls(
             out_channels=self.out_channels,
@@ -378,7 +396,8 @@ class UnetrBasicBlock(nn.Module):
             dtype=self.dtype,
         )
         if self.res_block:
-            return block(x, train=train, s2d_parts=s2d_parts, emit_s2d=emit_s2d)
+            return block(x, train=train, s2d_parts=s2d_parts,
+                         emit_s2d=emit_s2d, emit_pad=emit_pad)
         return block(x, train=train)
 
 
@@ -399,7 +418,8 @@ class UnetrUpBlock(nn.Module):
     @nn.compact
     def __call__(self, x=None, skip=None, *, train: bool = False,
                  skip_s2d=None, x_s2d=None, emit_s2d: bool = False,
-                 head=None):
+                 head=None, x_padded: bool = False,
+                 skip_padded: bool = False, emit_pad: bool = False):
         transp = ConvTranspose3d(
             self.out_channels,
             kernel_size=self.upsample_kernel_size,
@@ -457,23 +477,56 @@ class UnetrUpBlock(nn.Module):
         ):
             from fcd_tpu.ops.s2d_ops import to_s2d
 
-            up_s2d = transp(x, emit_s2d=True, x_s2d=x_s2d)
+            # padded-chain decoder: the upsample consumes the previous
+            # decoder's padded coarse tensor and emits the padded fine
+            # tensor in one Pallas pass; the skip part arrives padded from
+            # its producer (or pads inside its to_s2d regroup) — no
+            # standalone depth-pad op feeds the multi-part conv kernel
+            pad_chain = (
+                not train and not self.use_bias
+                and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
+                and _fcd_flags.get("FCD_PAD_CHAIN") != "0"
+            )
+            if pad_chain and x_s2d is not None:
+                up_s2d = transp(x, emit_s2d=True, x_s2d=x_s2d,
+                                x_padded=x_padded, emit_pad=True)
+                up_padded = True
+            else:
+                if x_s2d is not None and x_padded:
+                    x_s2d = (x_s2d[0][:, 1:-1], x_s2d[1])
+                up_s2d = transp(x, emit_s2d=True, x_s2d=x_s2d)
+                if pad_chain:
+                    up_s2d = jnp.pad(
+                        up_s2d, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+                    up_padded = True
+                else:
+                    up_padded = False
             if skip_s2d is not None:
                 sk = skip_s2d[0]
+                sk_padded = skip_padded
+                if sk_padded and not pad_chain:
+                    sk = sk[:, 1:-1]
+                    sk_padded = False
             else:
                 sk = to_s2d(skip.astype(jnp.bfloat16))
+                sk_padded = pad_chain
+                if sk_padded:
+                    sk = jnp.pad(sk, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
             return conv_block(
                 train=train,
-                s2d_parts=[(up_s2d, self.out_channels), (sk, skip_c)],
+                s2d_parts=[(up_s2d, self.out_channels, up_padded),
+                           (sk, skip_c, sk_padded)],
                 emit_s2d=emit_s2d,
                 head=head,
+                emit_pad=emit_pad,
             )
 
         assert head is None, "head fusion requires the s2d decoder path"
         if x is None:
             from fcd_tpu.ops.s2d_ops import from_s2d
 
-            x = from_s2d(x_s2d[0], x_s2d[1])
+            xs_in = x_s2d[0][:, 1:-1] if x_padded else x_s2d[0]
+            x = from_s2d(xs_in, x_s2d[1])
         out = transp(x)
         if self.fuse == "cat":
             out = jnp.concatenate([out, skip], axis=-1)

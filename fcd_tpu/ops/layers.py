@@ -343,7 +343,8 @@ class ConvTranspose3d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x=None, *, emit_s2d: bool = False, x_s2d=None):
+    def __call__(self, x=None, *, emit_s2d: bool = False, x_s2d=None,
+                 x_padded: bool = False, emit_pad: bool = False):
         k = _triple(self.kernel_size)
         s = _triple(self.stride)
         cin = x_s2d[1] if x_s2d is not None else x.shape[-1]
@@ -355,11 +356,19 @@ class ConvTranspose3d(nn.Module):
         if x_s2d is not None:
             # input arrives as the coarse grid's s2d tensor: upsample
             # straight to the fine grid's s2d layout (s2d decoder chaining)
-            from fcd_tpu.ops.s2d_ops import upsample2x_s2d_to_s2d
+            from fcd_tpu.ops.s2d_ops import (
+                upsample2x_s2d_to_s2d,
+                upsample2x_s2d_to_s2d_pad,
+            )
 
             assert k == (2, 2, 2) and s == (2, 2, 2) and emit_s2d
+            if emit_pad:
+                return upsample2x_s2d_to_s2d_pad(
+                    x_s2d[0].astype(jnp.bfloat16), cin,
+                    kernel.astype(jnp.bfloat16), bias, in_padded=x_padded)
+            xin = x_s2d[0][:, 1:-1] if x_padded else x_s2d[0]
             return upsample2x_s2d_to_s2d(
-                x_s2d[0].astype(jnp.bfloat16), cin,
+                xin.astype(jnp.bfloat16), cin,
                 kernel.astype(jnp.bfloat16), bias)
         dtype = self.dtype or x.dtype
         if emit_s2d:

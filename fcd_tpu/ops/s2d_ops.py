@@ -244,6 +244,19 @@ def _pool_bwd(c, res, g):
 max_pool_2x_s2d_exit.defvjp(_pool_fwd, _pool_bwd)
 
 
+def max_pool_2x_s2d_exit_pad(xsp: jnp.ndarray, c: int) -> jnp.ndarray:
+    """max_pool_2x_s2d_exit on a PADDED-chain input (B, D2+2, ...): the
+    Pallas kernel reads the interior rows via its index map, so the
+    producer-side depth pad costs nothing here. Eval-only (no VJP)."""
+    if (jax.default_backend() == "tpu"
+            and _fcd_flags.get("FCD_POOL_FWD_KERNEL") != "0"):
+        from fcd_tpu.kernels.pool import pool_fwd_pallas, pool_fwd_supported
+
+        if pool_fwd_supported(xsp.shape[2], xsp.shape[3], c):
+            return pool_fwd_pallas(xsp, c, interior=True)
+    return _pool_max(xsp[:, 1:-1], c)
+
+
 def max_pool_2x_s2d_to_s2d(xs: jnp.ndarray, c: int) -> jnp.ndarray:
     """2x max pool from one level's s2d tensor straight to the NEXT level's
     s2d tensor: max over the fine-grid parity lanes, regrouping the coarse
@@ -582,6 +595,34 @@ def _upsample_s2d_bwd(cin, res, dy):
 _upsample_s2d_core.defvjp(_upsample_s2d_fwd, _upsample_s2d_bwd)
 
 
+def upsample2x_s2d_to_s2d_pad(ysp: jnp.ndarray, cin: int, w: jnp.ndarray,
+                              b: Optional[jnp.ndarray] = None,
+                              in_padded: bool = True) -> jnp.ndarray:
+    """Padded-chain s2d-to-s2d transposed-conv upsample (eval only):
+    consumes the coarse s2d tensor WITH its (+1, +1) zero depth pad and
+    emits the fine s2d tensor with the same pad, in one Pallas pass
+    (kernels/upsample.upsample_s2d_pad) — the XLA form's d2s regroup
+    copies (~2.5 ms/volume at dec-1/dec-2) and the fine-grid depth pad
+    both disappear. Falls back to the XLA form + explicit pads off-TPU
+    or when unsupported."""
+    cout = w.shape[4]
+    if not in_padded:
+        ysp = jnp.pad(ysp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    if jax.default_backend() == "tpu" and _fcd_flags.get("FCD_PAD_CHAIN") != "0":
+        from fcd_tpu.kernels.upsample import (
+            upsample_pad_supported,
+            upsample_s2d_pad,
+        )
+
+        if upsample_pad_supported(ysp.shape[2], ysp.shape[3], cin, cout):
+            wm = _upsample_wm(w, cin)
+            return upsample_s2d_pad(
+                ysp.astype(jnp.bfloat16), wm, cin, cout, b,
+                out_dtype=ysp.dtype)
+    out = upsample2x_s2d_to_s2d(ysp[:, 1:-1], cin, w, b)
+    return jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+
 def upsample2x_s2d_to_s2d(ys: jnp.ndarray, cin: int, w: jnp.ndarray,
                           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Transposed conv k2 s2 from the COARSE grid's s2d tensor straight to
@@ -618,7 +659,8 @@ def _inorm_affine_from_sums(s1: jnp.ndarray, s2: jnp.ndarray, c: int,
 
 
 def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
-                          norm_name: str, bn_affines, out_dtype, head=None):
+                          norm_name: str, bn_affines, out_dtype, head=None,
+                          emit_pad: bool = False):
     """Eval-mode UnetResBlock via the HALF-OFFSET 8-tap kernel pair:
     conv1 runs aligned->offset, conv2 offset->aligned (with norm1 + act
     fused into its VMEM prologue), so each conv carries only 64/27 = 2.37x
@@ -634,20 +676,24 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     )
 
     interpret = jax.default_backend() != "tpu"
+    parts = [p if len(p) == 3 else (p[0], p[1], False) for p in parts]
     b = parts[0][0].shape[0]
     d2, h2, w2s = parts[0][0].shape[1:4]
-    n_vox = d2 * h2 * w2s * 8
+    if parts[0][2]:
+        d2 -= 2
     is_batch = norm_name == "batch"
     want_stats = not is_batch
     need_res = wres is not None
+    n_vox = d2 * h2 * w2s * 8
 
     # --- conv1: aligned -> offset, every part in ONE kernel (the part sum
     # and its statistics accumulate in VMEM — no XLA sum/reduction passes);
     # the projection shortcut rides along as a second output sharing the
     # input reads, with its own in-kernel statistics ---
+    pre_list = []
     xs_list, wblk_list, rwblk_list = [], [], []
     off = 0
-    for xs, c in parts:
+    for xs, c, pre in parts:
         w1p = w1[..., off:off + c, :].astype(jnp.float32)
         wrp = wres[off:off + c].astype(jnp.float32) if need_res else None
         if c < 16 and not _lane_narrow_ok():
@@ -664,6 +710,7 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
             if need_res:
                 wrp = jnp.pad(wrp, ((0, 16 - c), (0, 0)))
         xs_list.append(xs.astype(jnp.bfloat16))
+        pre_list.append(pre)
         wblk_list.append(make_blocked_weights_8tap(w1p).astype(jnp.bfloat16))
         if need_res:
             rwblk_list.append(
@@ -674,6 +721,7 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
         res_wblk_list=rwblk_list if need_res else None,
         want_res_stats=need_res and want_stats,
         out_dtype=out_dtype, interpret=interpret,
+        pre_padded=pre_list,
     )
     y1 = outs[0]
     i = 1
@@ -726,6 +774,8 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     else:
         # identity shortcut: fold as r*1 + 0
         rin = parts[0][0]
+        if parts[0][2]:
+            rin = rin[:, 1:-1]
         scr = jnp.ones((b, 8 * oc), jnp.float32)
         shr = jnp.zeros((b, 8 * oc), jnp.float32)
 
@@ -756,12 +806,19 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
         res = rin.astype(jnp.float32)
     out = y2.astype(jnp.float32) * scale2 + shift2 + res
     out = jnp.where(out >= 0, out, slope * out)
-    return out.astype(out_dtype)
+    out = out.astype(out_dtype)
+    if emit_pad:
+        # padded-chain emission: the depth pad fuses into this elementwise
+        # finale (probe: elementwise+pad 0.607 ms vs elementwise alone
+        # 0.712 on v5e) — the consumer a2o/pool kernels read it directly
+        out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    return out
 
 
 def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
                         norm_name: str = "instance", bn_affines=None,
-                        out_dtype=jnp.bfloat16, head=None):
+                        out_dtype=jnp.bfloat16, head=None,
+                        emit_pad: bool = False):
     """Eval-mode UnetResBlock on aligned s2d parts with kernel-fused norms.
 
     head=(kernel, bias|None): fuse a 1x1 segmentation head into the block
@@ -775,16 +832,32 @@ def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
     (norm2 + residual-norm + add + activation). Forward-only (no VJP) —
     callers gate on eval.
 
+    Padded-chain convention (FCD_PAD_CHAIN): each part is (xs, c) or
+    (xs, c, pre_padded) — pre_padded parts carry the (+1, +1) zero depth
+    pad and feed the conv kernels directly (no standalone pad op). With
+    emit_pad=True the returned tensor carries the same pad, emitted
+    inside the (fused, ~free) elementwise finale.
+
     w1: (3,3,3,cin_total,oc), w2: (3,3,3,oc,oc), wres: (cin_total,oc)|None.
     bn_affines (norm 'batch'): ((w,b) eval affines per norm, (c,) each)
     in order (norm1, norm2, norm_res|None).
     """
     import os
 
+    parts = [p if len(p) == 3 else (p[0], p[1], False) for p in parts]
     if _fcd_flags.get("FCD_CONV8") != "0":
         return _fused_resblock_eval8(parts, w1, w2, wres, oc, slope,
                                      norm_name, bn_affines, out_dtype,
-                                     head=head)
+                                     head=head, emit_pad=emit_pad)
+    # 27-tap fallback path consumes the interior view (the pads were free
+    # to produce; a slice here costs one pass — acceptable for the A/B
+    # reference form)
+    parts = [(xs[:, 1:-1] if pre else xs, c) for xs, c, pre in parts]
+    if emit_pad:
+        out = fused_resblock_eval(parts, w1, w2, wres, oc, slope,
+                                  norm_name, bn_affines, out_dtype,
+                                  head=head)
+        return jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_s2d_fused,
         make_blocked_weights_1x1,

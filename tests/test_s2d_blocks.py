@@ -467,3 +467,71 @@ def test_blocked_conv_8tap_pair_matches_reference_conv():
         jnp.asarray(reference_conv3x3(x, wa), jnp.float32), wb))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=0.05 * scale)
+
+
+def test_pad_chain_parity(monkeypatch):
+    """Padded-chain convention (FCD_PAD_CHAIN): padded parts + emit_pad
+    reproduce the unpadded fused block exactly, with zero depth edges."""
+    from fcd_tpu.ops.s2d_ops import fused_resblock_eval
+
+    monkeypatch.setenv("FCD_CONV8", "1")
+    rng = np.random.RandomState(31)
+    oc = 16
+    a = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32)) - 0.5
+    b = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32)) - 0.5
+    w1 = jnp.asarray(rng.rand(3, 3, 3, 32, oc).astype(np.float32)) * 0.4 - 0.2
+    w2 = jnp.asarray(rng.rand(3, 3, 3, oc, oc).astype(np.float32)) * 0.4 - 0.2
+    wres = jnp.asarray(rng.rand(32, oc).astype(np.float32)) * 0.4 - 0.2
+    ref = np.asarray(
+        fused_resblock_eval([(to_s2d(a), 16), (to_s2d(b), 16)], w1, w2,
+                            wres, oc, 0.01, out_dtype=jnp.float32))
+    dp = ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))
+    ap = jnp.pad(to_s2d(a), dp)
+    bp = jnp.pad(to_s2d(b), dp)
+    got = np.asarray(
+        fused_resblock_eval([(ap, 16, True), (bp, 16, True)], w1, w2,
+                            wres, oc, 0.01, out_dtype=jnp.float32,
+                            emit_pad=True))
+    assert got.shape[1] == ref.shape[1] + 2
+    np.testing.assert_array_equal(got[:, 0], 0.0)
+    np.testing.assert_array_equal(got[:, -1], 0.0)
+    np.testing.assert_allclose(got[:, 1:-1], ref, rtol=0, atol=0)
+    # mixed padded/unpadded parts
+    got2 = np.asarray(
+        fused_resblock_eval([(ap, 16, True), (to_s2d(b), 16)], w1, w2,
+                            wres, oc, 0.01, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got2, ref, rtol=0, atol=0)
+
+
+def test_pad_chain_model_parity(monkeypatch):
+    """MS_DSA_NET eval output is identical with the padded chain on/off."""
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.models.factory import get_model, init_model
+
+    params = get_default_params()
+    params.update(patch_size=32, feature_size=4, project_size=8,
+                  chans_in=2, chans_out=2, use_amp=False,
+                  model_type="MS_DSA_NET")
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 32, 2),
+                    jnp.float32)
+    monkeypatch.setenv("FCD_PAD_CHAIN", "0")
+    ref = np.asarray(model.apply(variables, x, train=False))
+    monkeypatch.setenv("FCD_PAD_CHAIN", "1")
+    got = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_pool_exit_pad_parity():
+    from fcd_tpu.ops.s2d_ops import (
+        max_pool_2x_s2d_exit,
+        max_pool_2x_s2d_exit_pad,
+    )
+
+    rng = np.random.RandomState(32)
+    xs = jnp.asarray(rng.randn(2, 4, 4, 4, 8 * 16).astype(np.float32))
+    xsp = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    ref = np.asarray(max_pool_2x_s2d_exit(xs, 16))
+    got = np.asarray(max_pool_2x_s2d_exit_pad(xsp, 16))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)

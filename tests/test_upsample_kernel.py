@@ -63,3 +63,53 @@ def test_upsample_adjoint_matches_autodiff():
     for a, r in zip(g_new, g_ref):
         rel = float(jnp.abs(a - r).max() / (jnp.abs(r).max() + 1e-9))
         assert rel < 1e-5, rel
+
+
+def test_upsample_pad_kernel_parity():
+    """Padded-chain kernel: PADDED coarse -> PADDED fine, zero edges,
+    interior equal to the XLA s2d-to-s2d upsample."""
+    from fcd_tpu.kernels.upsample import upsample_s2d_pad
+
+    rng = np.random.RandomState(2)
+    ys = jnp.asarray(rng.randn(2, 4, 5, 4, 8 * CIN).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 2, CIN, COUT).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(COUT).astype(np.float32))
+    ysp = jnp.pad(ys, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    wm = _upsample_wm(w.astype(jnp.bfloat16), CIN)
+    interp = jax.default_backend() != "tpu"
+    for bias in (None, b):
+        got = upsample_s2d_pad(ysp.astype(jnp.bfloat16), wm, CIN, COUT,
+                               bias, out_dtype=jnp.float32,
+                               interpret=interp)
+        ref = upsample2x_s2d_to_s2d(
+            ys.astype(jnp.bfloat16), CIN, w.astype(jnp.bfloat16), bias
+        ).astype(jnp.float32)
+        got = np.asarray(got)
+        assert got.shape[1] == ref.shape[1] + 2
+        np.testing.assert_array_equal(got[:, 0], 0.0)
+        np.testing.assert_array_equal(got[:, -1], 0.0)
+        np.testing.assert_allclose(got[:, 1:-1], np.asarray(ref),
+                                   rtol=0, atol=2e-2)
+
+
+def test_upsample_pad_wrapper_fallback_parity():
+    """The s2d_ops wrapper (XLA fallback path off-TPU) keeps the same
+    contract: padded in, padded out, interior exact."""
+    from fcd_tpu.ops.s2d_ops import upsample2x_s2d_to_s2d_pad
+
+    rng = np.random.RandomState(3)
+    ys = jnp.asarray(rng.randn(1, 4, 4, 4, 8 * CIN).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 2, CIN, COUT).astype(np.float32) * 0.1)
+    ysp = jnp.pad(ys, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    got = np.asarray(upsample2x_s2d_to_s2d_pad(
+        ys.astype(jnp.bfloat16), CIN, w.astype(jnp.bfloat16), None,
+        in_padded=False))
+    got2 = np.asarray(upsample2x_s2d_to_s2d_pad(
+        ysp.astype(jnp.bfloat16), CIN, w.astype(jnp.bfloat16), None,
+        in_padded=True))
+    ref = np.asarray(upsample2x_s2d_to_s2d(
+        ys.astype(jnp.bfloat16), CIN, w.astype(jnp.bfloat16), None))
+    np.testing.assert_array_equal(got[:, 0], 0.0)
+    np.testing.assert_array_equal(got[:, -1], 0.0)
+    np.testing.assert_allclose(got[:, 1:-1], ref, rtol=0, atol=2e-2)
+    np.testing.assert_allclose(got2, got, rtol=0, atol=0)
