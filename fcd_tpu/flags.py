@@ -53,6 +53,11 @@ FLAGS: Dict[str, Flag] = {
         "aligned GEMMs at doubled contraction instead of 8 taps with "
         "misaligned sx=1 slices. Measured enc1 4.85 -> 3.50 ms/volume.",
         tested="test_flags_matrix"),
+    "FCD_CONV8_VPAIR_MULTI": Flag(
+        "0", "Extend in-VMEM W-pairing to the MULTI-part a2o kernels "
+        "(decoder cat-parts). r2 A/B: flat + a finale fusion regression; "
+        "kept for re-A/B as surrounding formulations change.",
+        status="dead-end", tested="test_flags_matrix (vpair parity)"),
     "FCD_CONV8_KD": Flag(
         "1", "Multi-row conv programs: kd outputs per grid step share "
         "their fetched input rows ((kd+1)/kd DMA instead of 2x).",

@@ -231,7 +231,7 @@ def _sliding_window_jit_stdlayout():
 _SW_STATIC_GRID_ARGNAMES = (
     "predictor", "starts_t", "valid_t", "roi_size", "sw_batch",
     "out_channels", "blend", "sigma_scale", "compute_dtype", "patch_s2d",
-    "s2d_logits", "exit_form", "vol_pre_s2d")
+    "s2d_logits", "exit_form", "vol_pre_s2d", "patch_pad")
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
@@ -289,6 +289,7 @@ def _sliding_window_static_impl(
     s2d_logits: bool = False,
     exit_form: str = "mm",
     vol_pre_s2d: bool = False,
+    patch_pad: bool = False,
 ):
     """Static-grid sliding window: the patch grid is host-known, so gathers
     are static slices, the predictor runs under one lax.map trace over the
@@ -331,9 +332,15 @@ def _sliding_window_static_impl(
 
         def gather(s):
             s0, s1, s2 = s[0] // 2, s[1] // 2, s[2] // 2
-            return jax.lax.slice(
+            p = jax.lax.slice(
                 vol_c, (s0, s1, s2, 0),
                 (s0 + rd // 2, s1 + rh // 2, s2 + rw // 2, vol_c.shape[-1]))
+            if patch_pad:
+                # padded-chain patches: the depth halo rides the gather's
+                # stack write; the model consumes it directly (inferred
+                # from the patch shape) — no per-patch pad op in the loop
+                p = jnp.pad(p, ((1, 1), (0, 0), (0, 0), (0, 0)))
+            return p
     else:
         def gather(s):
             return jax.lax.slice(
@@ -509,6 +516,7 @@ def sliding_window_inference(
     patch_s2d: bool = False,
     s2d_logits: bool = False,
     flat_output: bool = False,
+    patch_pad: bool = False,
 ) -> jnp.ndarray:
     """Run `predictor` over a (D, H, W, C) volume in overlapping roi-size
     patches and blend the logits. Returns (D, H, W, out_channels) float32.
@@ -530,6 +538,12 @@ def sliding_window_inference(
     predictor must also RETURN s2d logits (B, rd/2, rh/2, rw/2, 8*O) —
     blending then runs on the lane-dense s2d grid and the full-resolution
     exit transpose happens once per volume instead of once per patch.
+
+    patch_pad=True (opt-in, padded-chain predictors only): s2d patches are
+    gathered WITH their (+1, +1) zero depth pad — (B, rd/2 + 2, ...) —
+    so the model's entry conv kernel consumes them without a per-patch
+    pad op. The predictor must accept the padded shape (MS_DSA_NET
+    infers it from the patch depth).
     """
     roi_size = tuple(int(r) for r in roi_size)
     d, h, w, c = volume.shape
@@ -598,6 +612,8 @@ def sliding_window_inference(
             s2d_logits=s2d_logits,
             exit_form=exit_form,
             vol_pre_s2d=vol_pre_s2d,
+            patch_pad=(patch_pad and patch_s2d
+                       and _fcd_flags.get("FCD_PAD_CHAIN") != "0"),
         )
     else:
         starts_dev, valid_dev = _device_grid((pd, ph, pw), roi_size,

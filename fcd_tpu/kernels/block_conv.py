@@ -1231,9 +1231,12 @@ def blocked_conv_a2o_multi(xs_list, wblk8_list, *, want_stats: bool = False,
     dualacc = _conv8_dualacc() and not paired
     # vpair measured a win only on the single-part a2o kernel (enc1
     # 4.85 -> 3.50 ms/volume); the multi-part kernels were flat and a
-    # downstream finale fusion regressed — keep them unpaired
+    # downstream finale fusion regressed — keep them unpaired.
+    # FCD_CONV8_VPAIR_MULTI=1 re-enables it for A/B (r4: the finale
+    # formulation changed with the padded chain).
     vpair = (_conv8_vpair() and not paired and not dualacc
-             and len(xs_list) == 1)
+             and (len(xs_list) == 1
+                  or _fcd_flags.get("FCD_CONV8_VPAIR_MULTI") == "1"))
     vmem_halo = _a2o_vmem_halo() and not paired
 
     def pad(xs, pre):

@@ -106,16 +106,21 @@ def upsample_s2d_pallas(ys: jnp.ndarray, wm: jnp.ndarray, cin: int,
 
 
 def _make_up_pad_kernel(h4: int, w4: int, ci: int, co8: int, d4: int,
-                        has_bias: bool):
+                        has_bias: bool, lane_half: bool):
     """Program z writes fine buffer rows (2z, 2z+1) = fine depth rows
     (2z-1, 2z) of the PADDED fine tensor: fine row 2z-1 is parity pz=1 of
     coarse s2d row z-1 (slab_prev), fine row 2z is pz=0 of coarse row z
     (slab_cur). The first/last buffer rows are the zero depth pad.
 
-    Per row: one GEMM per (py, px) quad against wq[g] (8ci, co8) — full
-    contraction width, zero rows outside the g-block — then the parity
-    interleave (h4, 2, w4, 2, co8) -> (h2, w2, co8) as an in-VMEM
-    reshape (Mosaic compiles this; verified exact on v5e)."""
+    Per row: one GEMM per (py, px) quad against the block-structured
+    weight (zero rows outside the g-block), then the parity interleave
+    (h4, 2, w4, 2, co8) -> (h2, w2, co8) as an in-VMEM reshape (Mosaic
+    compiles this; verified exact on v5e).
+
+    lane_half: each program only needs ONE pz lane-half of each slab
+    (pz=1 of prev, pz=0 of cur) — when 4*ci is lane-tileable the in_specs
+    fetch just that half (halving input DMA and GEMM contraction); the
+    same wq serves both halves (their local g-structure is identical)."""
 
     def kernel(*refs):
         prev_ref, cur_ref, wq_ref = refs[0], refs[1], refs[2]
@@ -132,7 +137,8 @@ def _make_up_pad_kernel(h4: int, w4: int, ci: int, co8: int, d4: int,
             for py in range(2):
                 pair = []
                 for px in range(2):
-                    g = 4 * pz + 2 * py + px
+                    j = 2 * py + px
+                    g = j if lane_half else 4 * pz + j
                     t = jax.lax.dot_general(
                         slab, wq_ref[g], (((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -170,19 +176,36 @@ def upsample_s2d_pad(ysp: jnp.ndarray, wm: jnp.ndarray, cin: int,
     b, d4p, h4, w4, c8 = ysp.shape
     d4 = d4p - 2
     co8 = 8 * cout
-    wq = jnp.zeros((8, c8, co8), wm.dtype)
-    for g in range(8):
+    half = c8 // 2
+    # each program needs only the pz=1 lane-half of slab_prev and the
+    # pz=0 half of slab_cur: fetch just that half when it is lane-tileable
+    lane_half = half % 128 == 0
+    n_wq = 4 if lane_half else 8
+    wq = jnp.zeros((n_wq, half if lane_half else c8, co8), wm.dtype)
+    for g in range(n_wq):
         wq = wq.at[g, g * cin:(g + 1) * cin, :].set(wm)
     wq = wq.astype(jnp.bfloat16)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, h4, w4, c8), lambda bb, z: (bb, z, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, h4, w4, c8), lambda bb, z: (bb, z + 1, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, c8, co8), lambda bb, z: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if lane_half:
+        in_specs = [
+            pl.BlockSpec((1, 1, h4, w4, half),
+                         lambda bb, z: (bb, z, 0, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4, w4, half),
+                         lambda bb, z: (bb, z + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, 1, h4, w4, c8),
+                         lambda bb, z: (bb, z, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4, w4, c8),
+                         lambda bb, z: (bb, z + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs.append(pl.BlockSpec(wq.shape, lambda bb, z: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
     inputs = [ysp.astype(jnp.bfloat16), ysp.astype(jnp.bfloat16), wq]
     has_bias = bias is not None
     if has_bias:
@@ -191,7 +214,7 @@ def upsample_s2d_pad(ysp: jnp.ndarray, wm: jnp.ndarray, cin: int,
         inputs.append(jnp.tile(bias.astype(jnp.float32), 8)[None])
 
     out = pl.pallas_call(
-        _make_up_pad_kernel(h4, w4, cin, co8, d4, has_bias),
+        _make_up_pad_kernel(h4, w4, cin, co8, d4, has_bias, lane_half),
         grid=(b, d4 + 1),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, 2 * h4, 2 * w4, co8),

@@ -114,9 +114,15 @@ class _MSDSACore(nn.Module):
 
         if x_is_s2d:
             cin = x.shape[-1] // 8
-            full = tuple(s * 2 for s in x.shape[1:4])
+            # padded-chain patches arrive with the (+1, +1) zero depth pad
+            # already in the gather (engine-side); inferred from the shape
+            # against img_size so the predictor API stays unchanged
+            x_pad_in = x.shape[1] == img[0] // 2 + 2
+            d_eff = x.shape[1] - (2 if x_pad_in else 0)
+            full = (2 * d_eff, 2 * x.shape[2], 2 * x.shape[3])
         else:
             cin = x.shape[-1]
+            x_pad_in = False
             full = x.shape[1:4]
 
         def encoder(feats, inp, emit_s2d=False, s2d_parts=None,
@@ -144,8 +150,9 @@ class _MSDSACore(nn.Module):
         )
 
         if x_is_s2d and not use_s2d1:
-            x = from_s2d(x, cin)
+            x = from_s2d(x[:, 1:-1] if x_pad_in else x, cin)
             x_is_s2d = False
+            x_pad_in = False
 
         # padded-chain eval (FCD_PAD_CHAIN): s2d tensors between blocks
         # carry a (+1, +1) zero depth pad emitted inside their producers'
@@ -164,7 +171,11 @@ class _MSDSACore(nn.Module):
         pad2 = pad_chain and use_s2d2
         if use_s2d1:
             if x_is_s2d:
-                x1s = encoder(fs, None, emit_s2d=True, s2d_parts=[(x, cin)],
+                if x_pad_in and not pad_chain:
+                    x = x[:, 1:-1]
+                    x_pad_in = False
+                x1s = encoder(fs, None, emit_s2d=True,
+                              s2d_parts=[(x, cin, x_pad_in)],
                               emit_pad=pad1)
             else:
                 x1s = encoder(fs, x, emit_s2d=True, emit_pad=pad1)

@@ -341,6 +341,10 @@ class ModelTrainer:
             compute_dtype=compute_dtype,
             patch_s2d=use_s2d_patches,
             s2d_logits=use_s2d_logits,
+            # patch_pad measured a LOSS on v5e (the padded patch stack
+            # forces a 1.72 ms/volume relayout copy vs the 0.85 ms pad it
+            # removes — profile_patch r4); capability kept + tested for
+            # layouts where the stack pad is free
         )
 
     def _activate(self, logits: np.ndarray) -> np.ndarray:

@@ -219,3 +219,30 @@ def test_trainer_auto_bucket_policy():
             assert out.shape == (*shape, 2)
     assert calls["exact"] == 3  # two distinct shapes (one repeated)
     assert calls["bucket"] == 2  # every later NEW shape
+
+
+def test_patch_pad_gather_matches_unpadded():
+    """patch_pad=True gathers padded-chain s2d patches; with a predictor
+    honoring the convention the blended output is identical."""
+    from fcd_tpu.kernels.block_conv import depth_to_space
+
+    rng = np.random.RandomState(7)
+    vol = jnp.asarray(rng.rand(24, 32, 24, 2).astype(np.float32))
+
+    def s2d_predictor(patches_s2d):
+        dense = depth_to_space(patches_s2d, 2)
+        return _voxelwise_predictor(dense)
+
+    def s2d_predictor_padded(patches_s2d):
+        return s2d_predictor(patches_s2d[:, 1:-1])
+
+    ref = sliding_window_inference(
+        vol, s2d_predictor, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25, patch_s2d=True,
+    )
+    got = sliding_window_inference(
+        vol, s2d_predictor_padded, roi_size=(16, 16, 16), out_channels=2,
+        sw_batch=2, overlap=0.25, patch_s2d=True, patch_pad=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=0)

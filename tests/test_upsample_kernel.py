@@ -113,3 +113,26 @@ def test_upsample_pad_wrapper_fallback_parity():
     np.testing.assert_array_equal(got[:, -1], 0.0)
     np.testing.assert_allclose(got[:, 1:-1], ref, rtol=0, atol=2e-2)
     np.testing.assert_allclose(got2, got, rtol=0, atol=0)
+
+
+def test_upsample_pad_kernel_lane_half_parity():
+    """ci large enough that 4*ci is lane-tileable: the kernel fetches only
+    the needed pz lane-half of each slab. Same numerics."""
+    from fcd_tpu.kernels.upsample import upsample_s2d_pad
+
+    ci, co = 32, 16
+    rng = np.random.RandomState(4)
+    ys = jnp.asarray(rng.randn(1, 4, 3, 3, 8 * ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 2, ci, co).astype(np.float32) * 0.1)
+    ysp = jnp.pad(ys, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    wm = _upsample_wm(w.astype(jnp.bfloat16), ci)
+    interp = jax.default_backend() != "tpu"
+    got = np.asarray(upsample_s2d_pad(
+        ysp.astype(jnp.bfloat16), wm, ci, co, None,
+        out_dtype=jnp.float32, interpret=interp))
+    ref = np.asarray(upsample2x_s2d_to_s2d(
+        ys.astype(jnp.bfloat16), ci, w.astype(jnp.bfloat16), None)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(got[:, 0], 0.0)
+    np.testing.assert_array_equal(got[:, -1], 0.0)
+    np.testing.assert_allclose(got[:, 1:-1], ref, rtol=0, atol=2e-2)
