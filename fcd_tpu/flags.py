@@ -48,6 +48,12 @@ FLAGS: Dict[str, Flag] = {
         "1", "Kernel-emitted instance-norm statistics in training (custom "
         "VJPs expose the conv kernels' f32 accumulator sums; off = two "
         "XLA reduction passes).", tested="test_flags_matrix"),
+    "FCD_CONV8_PROLOGUE": Flag(
+        "1", "TRAIN path: norm1 + leaky-relu fused into conv2's VMEM "
+        "prologue via a custom VJP (the eval formulation) — the offset "
+        "tensor's standalone norm/act/mask pass never runs in XLA; off = "
+        "composed instance_norm_act_offset + conv8_o2a_stats.",
+        tested="test_s2d_blocks::test_conv8_prologue_grad_parity"),
     "FCD_CONV8_VPAIR": Flag(
         "1", "In-VMEM W-lane pairing for the single-part a2o kernel: 4 "
         "aligned GEMMs at doubled contraction instead of 8 taps with "

@@ -241,10 +241,19 @@ class UnetResBlock(nn.Module):
 
                 y1o, a_s1, a_s2 = conv8_a2o_stats(tuple(xs_list),
                                                   tuple(w_list))
-                y1o = instance_norm_act_offset(
-                    y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s,
-                    stats=(a_s1, a_s2))
-                ys, o_s1, o_s2 = conv8_o2a_stats(y1o, w2k, w2s)
+                if _fcd_flags.get("FCD_CONV8_PROLOGUE") != "0":
+                    # norm1 + act fused into conv2's VMEM prologue (the
+                    # eval formulation, differentiable): the offset
+                    # tensor's standalone norm/act/mask pass never runs
+                    from fcd_tpu.ops.s2d_ops import conv8_o2a_act_stats
+
+                    ys, o_s1, o_s2 = conv8_o2a_act_stats(
+                        y1o, a_s1, a_s2, w2k, w2s, slope)
+                else:
+                    y1o = instance_norm_act_offset(
+                        y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s,
+                        stats=(a_s1, a_s2))
+                    ys, o_s1, o_s2 = conv8_o2a_stats(y1o, w2k, w2s)
                 ys = instance_norm_s2d(ys, oc, stats=(o_s1, o_s2))
             else:
                 y1o = conv8_a2o(tuple(xs_list), tuple(w_list))

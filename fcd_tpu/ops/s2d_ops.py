@@ -498,6 +498,110 @@ def _conv8_o2a_stats_bwd(aligned_w, out_dtype, res, g):
 conv8_o2a_stats.defvjp(_conv8_o2a_stats_fwd, _conv8_o2a_stats_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def conv8_o2a_act_stats(y1o, s1, s2, w, aligned_w: int, slope: float,
+                        out_dtype=jnp.bfloat16):
+    """conv2 of the training pair with norm1 + leaky-relu FUSED into its
+    VMEM prologue (the eval path's formulation, now differentiable): the
+    instance-norm affine is computed from the conv1 kernel's accumulated
+    sums (s1, s2) and applied inside the o2a kernel, so the offset
+    tensor's standalone norm/act/mask pass (a full f32 read+write of the
+    (B, d2+1, h2+1, w2p, 8c) tensor, ~4 ms/step/level at batch 4x128^3)
+    never runs in XLA.
+
+    Backward: the prologue output `a` and the act mask are recomputed
+    from (y1o, s1, s2) inside the adjoint chain — the same elementwise
+    work the composed path's autodiff emitted — and the affine's
+    cotangent chains to (s1, s2) through jax.vjp of the tiny
+    sums->affine function. Returns (y, os1, os2) like conv8_o2a_stats."""
+    return _conv8_o2a_act_impl(y1o, s1, s2, w, aligned_w, slope,
+                               out_dtype)[0]
+
+
+def _o2a_act_dims(y1o, aligned_w):
+    d2, h2 = y1o.shape[1] - 1, y1o.shape[2] - 1
+    return d2, h2, int(aligned_w)
+
+
+def _conv8_o2a_act_impl(y1o, s1, s2, w, aligned_w, slope, out_dtype):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_o2a,
+        make_blocked_weights_8tap,
+    )
+
+    c = w.shape[3]
+    d2, h2, w2 = _o2a_act_dims(y1o, aligned_w)
+    n_true = d2 * h2 * w2 * 8
+    scale, shift = _inorm_affine_from_sums(
+        s1.astype(jnp.float32), s2.astype(jnp.float32), c, n_true)
+    wblk = make_blocked_weights_8tap(
+        w.astype(jnp.float32)).astype(jnp.bfloat16)
+    y, os1, os2 = blocked_conv_o2a(
+        y1o.astype(jnp.bfloat16), wblk, aligned_w,
+        in_scale=scale, in_shift=shift, neg_slope=slope,
+        want_stats=True, out_dtype=out_dtype, interpret=_interp())
+    return (y, os1[:, 0], os2[:, 0]), (scale, shift)
+
+
+def _conv8_o2a_act_fwd(y1o, s1, s2, w, aligned_w, slope, out_dtype):
+    out, (scale, shift) = _conv8_o2a_act_impl(
+        y1o, s1, s2, w, aligned_w, slope, out_dtype)
+    return out, (y1o, s1, s2, w, out[0], scale, shift)
+
+
+def _conv8_o2a_act_bwd(aligned_w, slope, out_dtype, res, g):
+    from fcd_tpu.kernels.block_conv import (
+        blocked_conv_a2o,
+        blocked_conv_o2a_dw,
+        make_blocked_weights_8tap,
+        offset_keep_mask,
+        unblock_dw8,
+    )
+
+    y1o, s1, s2, w, y, scale, shift = res
+    gy, gs1, gs2 = g
+    c = w.shape[3]
+    d2, h2, w2 = _o2a_act_dims(y1o, aligned_w)
+    n_true = d2 * h2 * w2 * 8
+
+    gb = _stats_cotangent(gy, gs1, gs2, y).astype(jnp.bfloat16)
+    # adjoint conv back onto the offset grid (cotangent w.r.t. `a`)
+    wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    wab = make_blocked_weights_8tap(
+        wadj.astype(jnp.float32)).astype(jnp.bfloat16)
+    da = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=jnp.bfloat16,
+                          interpret=_interp())[0]
+
+    # recompute the prologue: t = affine(y1o), a = masked leaky-relu(t)
+    keep = offset_keep_mask(y1o.shape[1], y1o.shape[2], y1o.shape[3],
+                            y1o.shape[4], h2, w2)[None]
+    yf = y1o.astype(jnp.float32)
+    t = yf * scale[:, None, None, None, :] + shift[:, None, None, None, :]
+    a = jnp.where(keep, jnp.where(t >= 0, t, slope * t), 0.0)
+    dwblk = blocked_conv_o2a_dw(a.astype(jnp.bfloat16), gb, aligned_w,
+                                _interp())
+    dw = unblock_dw8(dwblk, c, w.shape[4]).astype(w.dtype)
+
+    # prologue backward (one fused elementwise pass + two reductions)
+    dt = (da.astype(jnp.float32)
+          * jnp.where(t >= 0, 1.0, slope)
+          * keep.astype(jnp.float32))
+    d_y1o = (dt * scale[:, None, None, None, :]).astype(y1o.dtype)
+    d_scale = jnp.sum(dt * yf, axis=(1, 2, 3))
+    d_shift = jnp.sum(dt, axis=(1, 2, 3))
+
+    def _affine(s1_, s2_):
+        return _inorm_affine_from_sums(s1_, s2_, c, n_true)
+
+    _, aff_vjp = jax.vjp(_affine, s1.astype(jnp.float32),
+                         s2.astype(jnp.float32))
+    ds1, ds2 = aff_vjp((d_scale, d_shift))
+    return d_y1o, ds1.astype(s1.dtype), ds2.astype(s2.dtype), dw
+
+
+conv8_o2a_act_stats.defvjp(_conv8_o2a_act_fwd, _conv8_o2a_act_bwd)
+
+
 def instance_norm_act_offset(ys: jnp.ndarray, c: int, n_true: int,
                              neg_slope: float, h_last: int, w_last: int,
                              eps: float = 1e-5, stats=None) -> jnp.ndarray:

@@ -85,8 +85,6 @@ def main(batch=4, n=8):
         # constant is only valid for the exact config it was measured at;
         # at any other patch/model size refuse to substitute and report
         # mfu=0 rather than a silently wrong number.
-        from fcd_tpu.config import get_default_params
-
         if (params["patch_size"] == 128
                 and params["feature_size"]
                 == get_default_params()["feature_size"]

@@ -535,3 +535,46 @@ def test_pool_exit_pad_parity():
     ref = np.asarray(max_pool_2x_s2d_exit(xs, 16))
     got = np.asarray(max_pool_2x_s2d_exit_pad(xsp, 16))
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_conv8_prologue_grad_parity(monkeypatch):
+    """conv8_o2a_act_stats (norm1+act fused into conv2's prologue, custom
+    VJP) matches the composed instance_norm_act_offset + conv8_o2a_stats
+    path in value and grads at bf16 tolerance."""
+    from fcd_tpu.ops.s2d_ops import (
+        conv8_a2o_stats,
+        conv8_o2a_act_stats,
+        conv8_o2a_stats,
+        instance_norm_act_offset,
+        instance_norm_s2d,
+    )
+
+    rng = np.random.RandomState(41)
+    c = 16
+    d2 = h2 = w2 = 8
+    x = jnp.asarray(rng.rand(2, d2, h2, w2, 8 * c).astype(np.float32) - 0.5)
+    w1 = jnp.asarray(rng.rand(3, 3, 3, c, c).astype(np.float32) * 0.4 - 0.2)
+    w2k = jnp.asarray(rng.rand(3, 3, 3, c, c).astype(np.float32) * 0.4 - 0.2)
+    slope = 0.01
+
+    def fused(x_, w1_, w2_):
+        y1o, s1, s2 = conv8_a2o_stats((x_.astype(jnp.bfloat16),), (w1_,))
+        ys, o1, o2 = conv8_o2a_act_stats(y1o, s1, s2, w2_, w2, slope)
+        out = instance_norm_s2d(ys, c, stats=(o1, o2))
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    def composed(x_, w1_, w2_):
+        y1o, s1, s2 = conv8_a2o_stats((x_.astype(jnp.bfloat16),), (w1_,))
+        y1o = instance_norm_act_offset(y1o, c, d2 * h2 * w2 * 8, slope,
+                                       h2, w2, stats=(s1, s2))
+        ys, o1, o2 = conv8_o2a_stats(y1o, w2_, w2)
+        out = instance_norm_s2d(ys, c, stats=(o1, o2))
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2))(x, w1, w2k)
+    v_c, g_c = jax.value_and_grad(composed, argnums=(0, 1, 2))(x, w1, w2k)
+    assert abs(float(v_f) - float(v_c)) < 2e-2 * (abs(float(v_c)) + 1)
+    for a, r in zip(g_f, g_c):
+        a, r = np.asarray(a, np.float64), np.asarray(r, np.float64)
+        rel = np.linalg.norm(a - r) / (np.linalg.norm(r) + 1e-9)
+        assert rel < 2e-2, rel
