@@ -1351,17 +1351,25 @@ def _make_dw8_kernel(h_t: int, w_t: int, *, vmem_halo: bool = False,
 
 
 def blocked_conv_a2o_dw(xs: jnp.ndarray, g: jnp.ndarray,
-                        interpret: bool) -> jnp.ndarray:
+                        interpret: bool,
+                        pre_padded: bool = False) -> jnp.ndarray:
     """dW (8, 8cin, 8cout) f32 for the a2o direction: xs aligned
     (B, D2, H2, W2, 8cin), g the OFFSET-grid cotangent
     (B, D2+1, H2+1, pad8(W2+1), 8cout) with pad-slot lanes already
-    zeroed (they are forward constants)."""
+    zeroed (they are forward constants). pre_padded: xs already carries
+    the (+1, +1) zero depth pad (padded-chain convention) — the forward
+    conv's padded input is reused and no second pad op runs."""
     bsz, d2, h2, w2, c8 = xs.shape
+    if pre_padded:
+        d2 -= 2
     cout8 = g.shape[-1]
     h_t, w_t = g.shape[2], g.shape[3]
     w_in = _pad8(w_t + 1)
     vmem_halo = _a2o_vmem_halo()
-    xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
+    if pre_padded:
+        xp = xs if vmem_halo else _halo_pad_hw(xs, w_in)
+    else:
+        xp = _depth_pad(xs) if vmem_halo else _halo_pad(xs, w_in)
     h_slab, w_slab = (h2, w2) if vmem_halo else (h2 + 2, w_in)
 
     return pl.pallas_call(
@@ -1388,13 +1396,19 @@ def blocked_conv_a2o_dw(xs: jnp.ndarray, g: jnp.ndarray,
 
 
 def blocked_conv_o2a_dw(ys: jnp.ndarray, g: jnp.ndarray, aligned_w: int,
-                        interpret: bool) -> jnp.ndarray:
+                        interpret: bool,
+                        g_pre_padded: bool = False) -> jnp.ndarray:
     """dW (8, 8cin, 8cout) f32 for the o2a direction: ys the OFFSET-grid
     input (B, D2+1, H2+1, pad8(W2+1), 8cin) with exact-zero pad slots,
-    g the aligned cotangent (B, D2, H2, aligned_w, 8cout)."""
+    g the aligned cotangent (B, D2, H2, aligned_w, 8cout).
+    g_pre_padded: g carries the (+1, +1) zero depth pad (shared with the
+    adjoint a2o conv of the same backward) — read via index offset."""
     bsz, d2p, h2p, w2p, c8 = ys.shape
     d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
     cout8 = g.shape[-1]
+
+    def grow(b, z):
+        return (b, z + 1, 0, 0, 0) if g_pre_padded else (b, z, 0, 0, 0)
 
     return pl.pallas_call(
         _make_dw8_kernel(h2, w2),
@@ -1406,8 +1420,7 @@ def blocked_conv_o2a_dw(ys: jnp.ndarray, g: jnp.ndarray, aligned_w: int,
             pl.BlockSpec((1, 1, h2p, w2p, c8),
                          lambda b, z: (b, z + 1, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2, cout8),
-                         lambda b, z: (b, z, 0, 0, 0),
+            pl.BlockSpec((1, 1, h2, w2, cout8), grow,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),

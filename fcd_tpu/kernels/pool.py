@@ -51,13 +51,23 @@ def _make_pool_bwd_kernel(c: int):
 
 
 def pool_bwd_pallas(xs: jnp.ndarray, m: jnp.ndarray, g: jnp.ndarray,
-                    c: int, *, interpret: bool = False) -> jnp.ndarray:
+                    c: int, *, interpret: bool = False,
+                    interior: bool = False) -> jnp.ndarray:
     """xs: (B, d2, h2, w2, 8c) pool input; m: (B, d2, h2, w2, c) pooled
     max; g: cotangent of m. Returns dx with jnp.max-identical tie
-    semantics (even split among equal maxima)."""
-    b, d2, h2, w2, c8 = xs.shape
+    semantics (even split among equal maxima).
 
-    def row(bb, z):
+    interior: xs carries the padded-chain (+1, +1) zero depth pad; the
+    kernel reads its interior rows and dx is returned in the SAME padded
+    shape with its (never-written) edge rows zeroed by the caller."""
+    b, d2, h2, w2, c8 = xs.shape
+    if interior:
+        d2 -= 2
+
+    def xrow(bb, z):
+        return (bb, z + 1, 0, 0, 0) if interior else (bb, z, 0, 0, 0)
+
+    def grow(bb, z):
         return (bb, z, 0, 0, 0)
 
     del m  # recomputed in VMEM by the kernel (cheaper than the DMA)
@@ -65,10 +75,10 @@ def pool_bwd_pallas(xs: jnp.ndarray, m: jnp.ndarray, g: jnp.ndarray,
         _make_pool_bwd_kernel(c),
         grid=(b, d2),
         in_specs=[
-            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c8), xrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c), grow, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h2, w2, c8), row,
+        out_specs=pl.BlockSpec((1, 1, h2, w2, c8), xrow,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xs.shape, xs.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -158,12 +158,9 @@ class _MSDSACore(nn.Module):
         # carry a (+1, +1) zero depth pad emitted inside their producers'
         # fused passes; the a2o/pool kernels consume it directly, so the
         # ~0.85 ms near-fixed standalone depth-pad ops disappear
-        pad_chain = (
-            not train
-            and not self.use_bias
-            and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
-            and _fcd_flags.get("FCD_PAD_CHAIN") != "0"
-        )
+        from fcd_tpu.ops.blocks import _pad_chain_ok
+
+        pad_chain = _pad_chain_ok(train, self.norm_name, self.use_bias)
         from fcd_tpu.ops.s2d_ops import max_pool_2x_s2d_exit_pad
 
         x1s = x2s = None

@@ -70,6 +70,18 @@ def _pair_train_ok(norm_name: str) -> bool:
             and _fcd_flags.get("FCD_CONV8_TRAIN") != "0")
 
 
+def _pad_chain_ok(train: bool, norm_name: str, use_bias: bool) -> bool:
+    """Whether the padded-depth chain applies: at eval through the fused
+    block, at train through the differentiable conv pair (both consume
+    pre-padded parts natively; any other executor slices the interior,
+    costing the pass the chain saves)."""
+    if use_bias or _fcd_flags.get("FCD_PAD_CHAIN") == "0":
+        return False
+    if train:
+        return _pair_train_ok(norm_name)
+    return _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
+
+
 def _taps8_executor_ok(train: bool, norm_name: str) -> bool:
     """A taps-8-only block shape needs an executor that can actually run
     it: the fused eval path, or the differentiable pair — the composed
@@ -166,7 +178,10 @@ class UnetResBlock(nn.Module):
                 return out
             return from_s2d(out, oc)
 
-        # the composed/train paths consume the interior view of padded parts
+        # the composed path and the residual 1x1 consume the interior
+        # view of padded parts (slices fuse into their consumers); the
+        # pair branch's conv kernels consume padded parts natively
+        parts3 = parts
         parts = [(xs[:, 1:-1] if pre else xs, c) for xs, c, pre in parts]
 
         if self.norm_name == "batch":
@@ -209,9 +224,9 @@ class UnetResBlock(nn.Module):
 
             w1k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
                             dtype=self.dtype)(return_kernel_for=cin_total)
-            xs_list, w_list = [], []
+            xs_list, w_list, pre_list = [], [], []
             off = 0
-            for xs, c in parts:
+            for xs, c, pre in parts3:
                 w1p = w1k[..., off:off + c, :]
                 if c < 16 and not _lane_narrow_ok():
                     # the XLA-padded-halo form rejects sub-128-lane
@@ -227,9 +242,11 @@ class UnetResBlock(nn.Module):
                     w1p = jnp.pad(w1p, ((0, 0),) * 3 + ((0, 16 - c), (0, 0)))
                 xs_list.append(xs.astype(jnp.bfloat16))
                 w_list.append(w1p)
+                pre_list.append(pre)
                 off += c
             w2k, _ = Conv3d(oc, self.kernel_size, 1, use_bias=False,
                             dtype=self.dtype)(return_kernel_for=oc)
+            pre_flags = tuple(pre_list)
             if _fcd_flags.get("FCD_CONV8_STATS") != "0":
                 # kernels accumulate the instance-norm sums alongside the
                 # conv output: the norms' two full-tensor reduction passes
@@ -240,7 +257,8 @@ class UnetResBlock(nn.Module):
                 )
 
                 y1o, a_s1, a_s2 = conv8_a2o_stats(tuple(xs_list),
-                                                  tuple(w_list))
+                                                  tuple(w_list),
+                                                  jnp.bfloat16, pre_flags)
                 if _fcd_flags.get("FCD_CONV8_PROLOGUE") != "0":
                     # norm1 + act fused into conv2's VMEM prologue (the
                     # eval formulation, differentiable): the offset
@@ -256,7 +274,8 @@ class UnetResBlock(nn.Module):
                     ys, o_s1, o_s2 = conv8_o2a_stats(y1o, w2k, w2s)
                 ys = instance_norm_s2d(ys, oc, stats=(o_s1, o_s2))
             else:
-                y1o = conv8_a2o(tuple(xs_list), tuple(w_list))
+                y1o = conv8_a2o(tuple(xs_list), tuple(w_list),
+                                jnp.bfloat16, pre_flags)
                 y1o = instance_norm_act_offset(
                     y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s)
                 ys = conv8_o2a(y1o, w2k, w2s)
@@ -320,9 +339,7 @@ class UnetResBlock(nn.Module):
             )
         if elig:
             xs = to_s2d(x.astype(jnp.bfloat16))
-            if (not train and not self.use_bias
-                    and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
-                    and _fcd_flags.get("FCD_PAD_CHAIN") != "0"):
+            if _pad_chain_ok(train, self.norm_name, self.use_bias):
                 # padded-chain entry: the pad rides the to_s2d regroup
                 # (elementwise producer) instead of a standalone pass
                 xs = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
@@ -491,11 +508,7 @@ class UnetrUpBlock(nn.Module):
             # tensor in one Pallas pass; the skip part arrives padded from
             # its producer (or pads inside its to_s2d regroup) — no
             # standalone depth-pad op feeds the multi-part conv kernel
-            pad_chain = (
-                not train and not self.use_bias
-                and _fcd_flags.get("FCD_FUSED_BLOCK") != "0"
-                and _fcd_flags.get("FCD_PAD_CHAIN") != "0"
-            )
+            pad_chain = _pad_chain_ok(train, self.norm_name, self.use_bias)
             if pad_chain and x_s2d is not None:
                 up_s2d = transp(x, emit_s2d=True, x_s2d=x_s2d,
                                 x_padded=x_padded, emit_pad=True)

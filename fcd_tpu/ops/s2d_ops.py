@@ -244,10 +244,17 @@ def _pool_bwd(c, res, g):
 max_pool_2x_s2d_exit.defvjp(_pool_fwd, _pool_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def max_pool_2x_s2d_exit_pad(xsp: jnp.ndarray, c: int) -> jnp.ndarray:
     """max_pool_2x_s2d_exit on a PADDED-chain input (B, D2+2, ...): the
-    Pallas kernel reads the interior rows via its index map, so the
-    producer-side depth pad costs nothing here. Eval-only (no VJP)."""
+    Pallas kernels read/write the interior rows via their index maps, so
+    neither the producer-side depth pad nor the cotangent's padded shape
+    costs a standalone pass. Differentiable (VJP mirrors
+    max_pool_2x_s2d_exit; the dx edge rows are exact zeros)."""
+    return _pool_pad_impl(xsp, c)
+
+
+def _pool_pad_impl(xsp, c):
     if (jax.default_backend() == "tpu"
             and _fcd_flags.get("FCD_POOL_FWD_KERNEL") != "0"):
         from fcd_tpu.kernels.pool import pool_fwd_pallas, pool_fwd_supported
@@ -255,6 +262,32 @@ def max_pool_2x_s2d_exit_pad(xsp: jnp.ndarray, c: int) -> jnp.ndarray:
         if pool_fwd_supported(xsp.shape[2], xsp.shape[3], c):
             return pool_fwd_pallas(xsp, c, interior=True)
     return _pool_max(xsp[:, 1:-1], c)
+
+
+def _pool_pad_fwd(xsp, c):
+    m = _pool_pad_impl(xsp, c)
+    return m, (xsp, m)
+
+
+def _pool_pad_bwd(c, res, g):
+    xsp, m = res
+    if (jax.default_backend() == "tpu"
+            and _fcd_flags.get("FCD_POOL_BWD_KERNEL") != "0"):
+        from fcd_tpu.kernels.pool import pool_bwd_pallas, pool_bwd_supported
+
+        if pool_bwd_supported(xsp.shape[2], xsp.shape[3], c):
+            dx = pool_bwd_pallas(xsp, m, g, c, interior=True)
+            # the kernel never writes the edge rows: zero them in place
+            zrow = jnp.zeros((xsp.shape[0], 1) + xsp.shape[2:], xsp.dtype)
+            dx = jax.lax.dynamic_update_slice(dx, zrow, (0, 0, 0, 0, 0))
+            dx = jax.lax.dynamic_update_slice(
+                dx, zrow, (0, dx.shape[1] - 1, 0, 0, 0))
+            return (dx,)
+    dxi = _pool_bwd(c, (xsp[:, 1:-1], m), g)[0]
+    return (jnp.pad(dxi, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))),)
+
+
+max_pool_2x_s2d_exit_pad.defvjp(_pool_pad_fwd, _pool_pad_bwd)
 
 
 def max_pool_2x_s2d_to_s2d(xs: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -296,19 +329,25 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv8_a2o(xs_tuple, w_tuple, out_dtype=jnp.bfloat16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv8_a2o(xs_tuple, w_tuple, out_dtype=jnp.bfloat16, pre_padded=None):
     """Differentiable half-offset conv, aligned -> offset: convolves each
     aligned-s2d part with its (3,3,3,ci,co) kernel and sums (the
     never-materialized-concat form), emitting the OFFSET-grid tensor at
     64/27 = 2.37x FLOP redundancy (the padded-27 training form pays 8x).
     VJP: dx per part is the o2a pass with flipped/transposed weights (the
     conv adjoint on the half-offset lattice pair); dw via the 8-tap
-    blocked weight-grad kernel."""
-    return _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype)
+    blocked weight-grad kernel.
+
+    pre_padded (tuple of bools per part): padded-chain parts carry the
+    (+1, +1) zero depth pad from their PRODUCER — the forward consumes
+    them directly, the dw kernel reuses the same padded tensor, and the
+    returned dx matches the padded shape (zero edge rows — exact in
+    composition with a jnp.pad producer, whose VJP slices them off)."""
+    return _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype, pre_padded)
 
 
-def _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype):
+def _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype, pre_padded=None):
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_a2o_multi,
         make_blocked_weights_8tap,
@@ -318,15 +357,17 @@ def _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype):
              for w in w_tuple]
     outs = blocked_conv_a2o_multi(
         [x.astype(jnp.bfloat16) for x in xs_tuple], wblks,
-        want_stats=False, out_dtype=out_dtype, interpret=_interp())
+        want_stats=False, out_dtype=out_dtype, interpret=_interp(),
+        pre_padded=list(pre_padded) if pre_padded else None)
     return outs[0]
 
 
-def _conv8_a2o_fwd(xs_tuple, w_tuple, out_dtype):
-    return _conv8_a2o_impl(xs_tuple, w_tuple, out_dtype), (xs_tuple, w_tuple)
+def _conv8_a2o_fwd(xs_tuple, w_tuple, out_dtype, pre_padded):
+    return (_conv8_a2o_impl(xs_tuple, w_tuple, out_dtype, pre_padded),
+            (xs_tuple, w_tuple))
 
 
-def _conv8_a2o_bwd(out_dtype, res, g):
+def _conv8_a2o_bwd(out_dtype, pre_padded, res, g):
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_a2o_dw,
         blocked_conv_o2a,
@@ -335,13 +376,15 @@ def _conv8_a2o_bwd(out_dtype, res, g):
         unblock_dw8,
     )
 
+    if pre_padded is None:
+        pre_padded = (False,) * len(res[0])
     xs_tuple, w_tuple = res
     d_out, h_out, w_out = g.shape[1], g.shape[2], g.shape[3]
     h2, w2 = xs_tuple[0].shape[2], xs_tuple[0].shape[3]
     keep = offset_keep_mask(d_out, h_out, w_out, g.shape[-1], h2, w2)
     gm = jnp.where(keep, g.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
     dxs, dws = [], []
-    for x, w in zip(xs_tuple, w_tuple):
+    for x, w, pre in zip(xs_tuple, w_tuple, pre_padded):
         wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
         wab = make_blocked_weights_8tap(
             wadj.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -351,8 +394,14 @@ def _conv8_a2o_bwd(out_dtype, res, g):
         dx = blocked_conv_o2a(gm, wab, w2, want_stats=False,
                               out_dtype=x.dtype,
                               interpret=_interp())[0]
+        if pre:
+            # padded-chain part: its cotangent matches the padded shape;
+            # the edge rows' values are discarded by the producer pad's
+            # VJP (a slice), so exact zeros are correct in composition
+            dx = jnp.pad(dx, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
         dxs.append(dx)
-        dwblk = blocked_conv_a2o_dw(x.astype(jnp.bfloat16), gm, _interp())
+        dwblk = blocked_conv_a2o_dw(x.astype(jnp.bfloat16), gm, _interp(),
+                                    pre_padded=pre)
         dws.append(unblock_dw8(dwblk, w.shape[3], w.shape[4]).astype(w.dtype))
     return tuple(dxs), tuple(dws)
 
@@ -360,8 +409,9 @@ def _conv8_a2o_bwd(out_dtype, res, g):
 conv8_a2o.defvjp(_conv8_a2o_fwd, _conv8_a2o_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv8_a2o_stats(xs_tuple, w_tuple, out_dtype=jnp.bfloat16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv8_a2o_stats(xs_tuple, w_tuple, out_dtype=jnp.bfloat16,
+                    pre_padded=None):
     """conv8_a2o that also returns the kernel-accumulated per-lane output
     sums (s1, s2) — the instance-norm statistics — so the norm's two
     full-tensor reduction passes never run in XLA (~2 ms/step at batch
@@ -370,7 +420,7 @@ def conv8_a2o_stats(xs_tuple, w_tuple, out_dtype=jnp.bfloat16):
     return _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype)
 
 
-def _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype):
+def _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype, pre_padded=None):
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_a2o_multi,
         make_blocked_weights_8tap,
@@ -380,12 +430,13 @@ def _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype):
              for w in w_tuple]
     y, s1, s2 = blocked_conv_a2o_multi(
         [x.astype(jnp.bfloat16) for x in xs_tuple], wblks,
-        want_stats=True, out_dtype=out_dtype, interpret=_interp())
+        want_stats=True, out_dtype=out_dtype, interpret=_interp(),
+        pre_padded=list(pre_padded) if pre_padded else None)
     return y, s1[:, 0], s2[:, 0]          # (B, 1, 8c) -> (B, 8c)
 
 
-def _conv8_a2o_stats_fwd(xs_tuple, w_tuple, out_dtype):
-    out = _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype)
+def _conv8_a2o_stats_fwd(xs_tuple, w_tuple, out_dtype, pre_padded):
+    out = _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype, pre_padded)
     return out, (xs_tuple, w_tuple, out[0])
 
 
@@ -403,10 +454,10 @@ def _stats_cotangent(gy, gs1, gs2, y):
     return g
 
 
-def _conv8_a2o_stats_bwd(out_dtype, res, g):
+def _conv8_a2o_stats_bwd(out_dtype, pre_padded, res, g):
     xs_tuple, w_tuple, y = res
     gy, gs1, gs2 = g
-    return _conv8_a2o_bwd(out_dtype, (xs_tuple, w_tuple),
+    return _conv8_a2o_bwd(out_dtype, pre_padded, (xs_tuple, w_tuple),
                           _stats_cotangent(gy, gs1, gs2, y))
 
 
@@ -450,11 +501,15 @@ def _conv8_o2a_bwd(aligned_w, out_dtype, res, g):
     wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     wab = make_blocked_weights_8tap(
         wadj.astype(jnp.float32)).astype(jnp.bfloat16)
-    gb = g.astype(jnp.bfloat16)
+    # ONE padded cotangent serves both consumers: the pad fuses into the
+    # cast (elementwise producer), the adjoint conv consumes it directly
+    # (pre_padded) and the dw kernel reads its interior via index offset
+    gb = jnp.pad(g.astype(jnp.bfloat16),
+                 ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     dy = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=ys.dtype,
-                          interpret=_interp())[0]
+                          interpret=_interp(), pre_padded=True)[0]
     dwblk = blocked_conv_o2a_dw(ys.astype(jnp.bfloat16), gb, aligned_w,
-                                _interp())
+                                _interp(), g_pre_padded=True)
     dw = unblock_dw8(dwblk, w.shape[3], w.shape[4])
     return dy.astype(ys.dtype), dw.astype(w.dtype)
 
@@ -564,13 +619,16 @@ def _conv8_o2a_act_bwd(aligned_w, slope, out_dtype, res, g):
     d2, h2, w2 = _o2a_act_dims(y1o, aligned_w)
     n_true = d2 * h2 * w2 * 8
 
-    gb = _stats_cotangent(gy, gs1, gs2, y).astype(jnp.bfloat16)
+    # ONE padded cotangent for the adjoint conv and the dw kernel (the
+    # pad fuses into the _stats_cotangent elementwise chain)
+    gb = jnp.pad(_stats_cotangent(gy, gs1, gs2, y).astype(jnp.bfloat16),
+                 ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     # adjoint conv back onto the offset grid (cotangent w.r.t. `a`)
     wadj = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     wab = make_blocked_weights_8tap(
         wadj.astype(jnp.float32)).astype(jnp.bfloat16)
     da = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=jnp.bfloat16,
-                          interpret=_interp())[0]
+                          interpret=_interp(), pre_padded=True)[0]
 
     # recompute the prologue: t = affine(y1o), a = masked leaky-relu(t)
     keep = offset_keep_mask(y1o.shape[1], y1o.shape[2], y1o.shape[3],
@@ -579,7 +637,7 @@ def _conv8_o2a_act_bwd(aligned_w, slope, out_dtype, res, g):
     t = yf * scale[:, None, None, None, :] + shift[:, None, None, None, :]
     a = jnp.where(keep, jnp.where(t >= 0, t, slope * t), 0.0)
     dwblk = blocked_conv_o2a_dw(a.astype(jnp.bfloat16), gb, aligned_w,
-                                _interp())
+                                _interp(), g_pre_padded=True)
     dw = unblock_dw8(dwblk, c, w.shape[4]).astype(w.dtype)
 
     # prologue backward (one fused elementwise pass + two reductions)
@@ -702,16 +760,26 @@ _upsample_s2d_core.defvjp(_upsample_s2d_fwd, _upsample_s2d_bwd)
 def upsample2x_s2d_to_s2d_pad(ysp: jnp.ndarray, cin: int, w: jnp.ndarray,
                               b: Optional[jnp.ndarray] = None,
                               in_padded: bool = True) -> jnp.ndarray:
-    """Padded-chain s2d-to-s2d transposed-conv upsample (eval only):
-    consumes the coarse s2d tensor WITH its (+1, +1) zero depth pad and
-    emits the fine s2d tensor with the same pad, in one Pallas pass
+    """Padded-chain s2d-to-s2d transposed-conv upsample: consumes the
+    coarse s2d tensor WITH its (+1, +1) zero depth pad and emits the fine
+    s2d tensor with the same pad, in one Pallas pass
     (kernels/upsample.upsample_s2d_pad) — the XLA form's d2s regroup
     copies (~2.5 ms/volume at dec-1/dec-2) and the fine-grid depth pad
-    both disappear. Falls back to the XLA form + explicit pads off-TPU
-    or when unsupported."""
-    cout = w.shape[4]
+    both disappear. Differentiable (manual adjoint mirroring
+    upsample2x_s2d_to_s2d's). Falls back to the XLA form + explicit pads
+    off-TPU or when unsupported."""
     if not in_padded:
         ysp = jnp.pad(ysp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    return _upsample_pad_core(ysp, cin, w, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _upsample_pad_core(ysp, cin, w, b):
+    return _upsample_pad_impl(ysp, cin, w, b)
+
+
+def _upsample_pad_impl(ysp, cin, w, b):
+    cout = w.shape[4]
     if jax.default_backend() == "tpu" and _fcd_flags.get("FCD_PAD_CHAIN") != "0":
         from fcd_tpu.kernels.upsample import (
             upsample_pad_supported,
@@ -725,6 +793,40 @@ def upsample2x_s2d_to_s2d_pad(ysp: jnp.ndarray, cin: int, w: jnp.ndarray,
                 out_dtype=ysp.dtype)
     out = upsample2x_s2d_to_s2d(ysp[:, 1:-1], cin, w, b)
     return jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+
+def _upsample_pad_fwd(ysp, cin, w, b):
+    return _upsample_pad_impl(ysp, cin, w, b), (ysp, w, b is not None)
+
+
+def _upsample_pad_bwd(cin, res, dyp):
+    """Adjoint of the padded upsample: the fine cotangent's interior
+    drives the same regroup + matmul adjoint as _upsample_s2d_bwd; the
+    coarse cotangent re-wears the depth pad (zero edges — exact: the
+    forward's edge outputs are constants)."""
+    ysp, w, has_bias = res
+    cout = w.shape[4]
+    wm = _upsample_wm(w, cin)
+    dy = dyp[:, 1:-1]
+    dz = space_to_depth(dy)                  # (B, d4, h4, w4, 8*(8*cout))
+    d_ys = conv1x1_s2d(dz, wm.T.astype(dz.dtype)).astype(ysp.dtype)
+    d_ysp = jnp.pad(d_ys, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    ysf = ysp[:, 1:-1].reshape(-1, 8, cin)
+    dzf = dz.reshape(-1, 8, 8 * cout)
+    dwm = jnp.einsum("ngi,ngq->iq", ysf, dzf,
+                     preferred_element_type=jnp.float32)
+    dwf = dwm.reshape(cin, 8, cout).transpose(1, 0, 2).reshape(
+        2, 2, 2, cin, cout)
+    dw = jnp.flip(dwf, axis=(0, 1, 2)).astype(w.dtype)
+    if has_bias:
+        db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2, 3))
+        db = db.reshape(8, cout).sum(axis=0)
+    else:
+        db = None
+    return d_ysp, dw, db
+
+
+_upsample_pad_core.defvjp(_upsample_pad_fwd, _upsample_pad_bwd)
 
 
 def upsample2x_s2d_to_s2d(ys: jnp.ndarray, cin: int, w: jnp.ndarray,

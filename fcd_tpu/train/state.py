@@ -229,7 +229,14 @@ def _image_s2d_jit(image, dtype):
         return out.reshape(b, d // 2, h // 2, w // 2, 8 * c)
     if dtype is not None:
         image = image.astype(dtype)
-    return space_to_depth_fast(image)
+    out = space_to_depth_fast(image)
+    if _fcd_flags.get("FCD_PAD_CHAIN") != "0":
+        # padded-chain patch: the depth halo rides this program's s2d
+        # chain; the model consumes it directly (inferred from the patch
+        # shape) or slices the interior — never worse than the pad the
+        # conv kernel would otherwise run
+        out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    return out
 
 
 def make_eval_fn(model, *, model_returns_vaeloss: bool = False,

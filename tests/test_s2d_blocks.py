@@ -578,3 +578,60 @@ def test_conv8_prologue_grad_parity(monkeypatch):
         a, r = np.asarray(a, np.float64), np.asarray(r, np.float64)
         rel = np.linalg.norm(a - r) / (np.linalg.norm(r) + 1e-9)
         assert rel < 2e-2, rel
+
+
+def test_pad_chain_train_grad_parity(monkeypatch):
+    """Training grads through MS_DSA_NET are identical with the padded
+    chain on/off (the conv kernels see the same interior rows; padded
+    cotangents' edge rows are discarded by the producer pads' VJPs)."""
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.models.factory import get_model, init_model
+
+    params = get_default_params()
+    params.update(patch_size=32, feature_size=4, project_size=8,
+                  chans_in=2, chans_out=2, use_amp=False,
+                  model_type="MS_DSA_NET")
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 32, 32, 32, 2),
+                    jnp.float32)
+
+    def loss(v, flag):
+        monkeypatch.setenv("FCD_PAD_CHAIN", flag)
+        out, _ = model.apply(
+            v, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return jnp.sum(jnp.square(out.astype(jnp.float32)))
+
+    v0, g0 = jax.value_and_grad(lambda v: loss(v, "0"))(variables)
+    v1, g1 = jax.value_and_grad(lambda v: loss(v, "1"))(variables)
+    assert float(v0) == float(v1), (float(v0), float(v1))
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, r in zip(flat1, flat0):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(r, np.float64),
+                                   rtol=0, atol=0)
+
+
+def test_pool_exit_pad_grad_parity():
+    from fcd_tpu.ops.s2d_ops import (
+        max_pool_2x_s2d_exit,
+        max_pool_2x_s2d_exit_pad,
+    )
+
+    rng = np.random.RandomState(33)
+    xs = jnp.asarray(rng.randn(1, 4, 4, 4, 8 * 16).astype(np.float32))
+    xsp = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+    def f_ref(x):
+        return jnp.sum(jnp.sin(max_pool_2x_s2d_exit(x, 16)))
+
+    def f_pad(xp):
+        return jnp.sum(jnp.sin(max_pool_2x_s2d_exit_pad(xp, 16)))
+
+    g_ref = np.asarray(jax.grad(f_ref)(xs))
+    g_pad = np.asarray(jax.grad(f_pad)(xsp))
+    np.testing.assert_array_equal(g_pad[:, 0], 0.0)
+    np.testing.assert_array_equal(g_pad[:, -1], 0.0)
+    np.testing.assert_allclose(g_pad[:, 1:-1], g_ref, rtol=0, atol=0)

@@ -136,3 +136,34 @@ def test_upsample_pad_kernel_lane_half_parity():
     np.testing.assert_array_equal(got[:, 0], 0.0)
     np.testing.assert_array_equal(got[:, -1], 0.0)
     np.testing.assert_allclose(got[:, 1:-1], ref, rtol=0, atol=2e-2)
+
+
+def test_upsample_pad_grad_matches_unpadded():
+    """The padded upsample's manual adjoint equals the unpadded op's
+    grads on the interior, with zero edge cotangents."""
+    from fcd_tpu.ops.s2d_ops import upsample2x_s2d_to_s2d_pad
+
+    rng = np.random.RandomState(5)
+    ys = jnp.asarray(rng.randn(1, 2, 3, 4, 8 * CIN).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 2, CIN, COUT).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(COUT).astype(np.float32))
+    ysp = jnp.pad(ys, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+    def f_ref(ys_, w_, b_):
+        o = upsample2x_s2d_to_s2d(ys_, CIN, w_, b_)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def f_pad(ysp_, w_, b_):
+        o = upsample2x_s2d_to_s2d_pad(ysp_, CIN, w_, b_, in_padded=True)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32))[:, 1:-1])
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(ys, w, b)
+    g_pad = jax.grad(f_pad, argnums=(0, 1, 2))(ysp, w, b)
+    gy = np.asarray(g_pad[0])
+    np.testing.assert_array_equal(gy[:, 0], 0.0)
+    np.testing.assert_array_equal(gy[:, -1], 0.0)
+    for a, r in [(gy[:, 1:-1], np.asarray(g_ref[0])),
+                 (np.asarray(g_pad[1]), np.asarray(g_ref[1])),
+                 (np.asarray(g_pad[2]), np.asarray(g_ref[2]))]:
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
+        assert rel < 1e-5, rel
