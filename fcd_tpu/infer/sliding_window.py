@@ -99,7 +99,7 @@ def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> 
 
 _SW_STATIC_ARGNAMES = ("predictor", "roi_size", "sw_batch", "out_channels",
                        "blend", "sigma_scale", "compute_dtype", "patch_s2d",
-                       "s2d_logits")
+                       "s2d_logits", "exit_form", "vol_pre_s2d")
 
 
 def _sliding_window_impl(
@@ -120,8 +120,15 @@ def _sliding_window_impl(
     compute_dtype,
     patch_s2d: bool = False,
     s2d_logits: bool = False,
+    exit_form: str = "mm",
+    vol_pre_s2d: bool = False,
 ):
-    d, h, w, c = volume.shape
+    if vol_pre_s2d:
+        d, h, w = (2 * volume.shape[0], 2 * volume.shape[1],
+                   2 * volume.shape[2])
+        c = volume.shape[3] // 8
+    else:
+        d, h, w, c = volume.shape
     rd, rh, rw = roi_size
     n = starts.shape[0]
     n_batches = n // sw_batch
@@ -132,13 +139,18 @@ def _sliding_window_impl(
         imp = jnp.ones(roi_size, jnp.float32)
     imp4 = imp[..., None]  # (rd, rh, rw, 1)
 
-    vol_c = volume.astype(compute_dtype)
+    vol_c = volume if vol_pre_s2d else volume.astype(compute_dtype)
     if patch_s2d:
-        # one volume-level s2d transform; patches gather lane-dense slabs
-        # (starts are even: even roi, interval = 0.75*roi, even padded dims)
-        from fcd_tpu.kernels.block_conv import space_to_depth_fast
+        if not vol_pre_s2d:
+            # one volume-level s2d transform; patches gather lane-dense
+            # slabs (starts are even: even roi, interval = 0.75*roi, even
+            # padded dims). The bucketed caller pre-s2d's in its own jit
+            # (vol_pre_s2d) — in-program the entry couples this program's
+            # layout assignment to the raw-volume parameter (~15 ms of
+            # relayout copies, the r2 lesson).
+            from fcd_tpu.kernels.block_conv import space_to_depth_fast
 
-        vol_c = space_to_depth_fast(vol_c[None])[0]
+            vol_c = space_to_depth_fast(vol_c[None])[0]
 
         def gather(start):
             return jax.lax.dynamic_slice(
@@ -180,6 +192,15 @@ def _sliding_window_impl(
             return jax.lax.fori_loop(0, sw_batch, scatter, acc), None
 
         acc, _ = jax.lax.scan(body, acc, jnp.arange(n_batches))
+        if exit_form == "pallas":
+            # fused flat exit (kernels/d2s_exit.py): inv_cnt arrives
+            # TRANSPOSED (d2, h2, 8O, w2); returns the FLAT (D, H, W*O)
+            # f32 volume (C-order bytes of the 4-D volume)
+            from fcd_tpu.kernels.d2s_exit import d2s_exit_flat
+
+            acc_t = jnp.transpose(acc, (0, 1, 3, 2))
+            return d2s_exit_flat(acc_t, inv_cnt, out_channels,
+                                 interpret=jax.default_backend() != "tpu")
         out = acc * jnp.repeat(inv_cnt, out_channels, axis=-1)
         return _exit_d2s(out[None], out_channels)[0]
 
@@ -707,6 +728,19 @@ def _bucket_inv_coverage(grid_shape, bucket_shape, roi_size, overlap, blend,
     return jnp.asarray(inv)
 
 
+@functools.lru_cache(maxsize=32)
+def _bucket_inv_coverage_exit_t(grid_shape, bucket_shape, roi_size, overlap,
+                                blend, sigma_scale,
+                                out_channels) -> jnp.ndarray:
+    """_bucket_inv_coverage in the fused flat exit's TRANSPOSED
+    (d2, h2, 8*O, w2) form (see _inverse_coverage_exit_t)."""
+    inv = np.asarray(_bucket_inv_coverage(
+        grid_shape, bucket_shape, roi_size, overlap, blend, sigma_scale,
+        True))
+    inv = np.repeat(inv, out_channels, axis=-1)       # (d2, h2, w2, 8O)
+    return jnp.asarray(np.ascontiguousarray(inv.transpose(0, 1, 3, 2)))
+
+
 def sliding_window_inference_bucketed(
     volume: jnp.ndarray,
     predictor: Callable,
@@ -722,6 +756,7 @@ def sliding_window_inference_bucketed(
     s2d_logits: bool = False,
     bucket_multiple: int = 32,
     slot_multiple: int = 8,
+    flat_output: bool = False,
 ) -> jnp.ndarray:
     """sliding_window_inference with a BOUNDED compile count over
     heterogeneous volume shapes.
@@ -733,6 +768,14 @@ def sliding_window_inference_bucketed(
     count), result at the original voxels identical to the exact engine
     (padded voxels are never gathered or blended; invalid grid slots carry
     weight 0, adding exact zeros to the accumulator).
+
+    flat_output (s2d_logits, >=roi volumes, exit-kernel-supported bucket
+    dims): return the BUCKET-shaped volume as (Db, Hb, Wb*O) f32 via the
+    fused Pallas exit — skipping the ~10 ms/volume of XLA boundary-layout
+    copies the 4-D exit pays.  The caller recovers the original volume as
+    a zero-copy numpy view:
+        np.asarray(out).reshape(Db, Hb, Wb, O)[:D, :H, :W]
+    Falls back to the 4-D sliced return when the kernel does not apply.
     """
     roi_size = tuple(int(r) for r in roi_size)
     d, h, w, c = volume.shape
@@ -751,11 +794,30 @@ def sliding_window_inference_bucketed(
     ] + [(0, 0)]
     padded = jnp.pad(volume, cfg) if any(any(t) for t in cfg) else volume
 
+    # pre-s2d in its own jit (the layout-domain lesson): in-program the
+    # entry transform forces a relayout of the raw-volume parameter
+    vol_pre_s2d = patch_s2d
+    if vol_pre_s2d:
+        padded = _entry_s2d(padded, compute_dtype=compute_dtype)
+
     starts_dev, valid_dev = _bucket_grid(
         grid_shape, roi_size, overlap, sw_batch, slot_multiple)
-    inv_cnt = _bucket_inv_coverage(
-        grid_shape, bucket, roi_size, overlap, blend, sigma_scale,
-        s2d_logits)
+    exit_form = "mm"
+    if (flat_output and s2d_logits and not any(pad)
+            and _fcd_flags.get("FCD_SW_FLAT_EXIT") != "0"):
+        from fcd_tpu.kernels.d2s_exit import d2s_exit_supported
+
+        bd, bh, bw = bucket
+        if d2s_exit_supported(bd // 2, bh // 2, bw // 2, out_channels):
+            exit_form = "pallas"
+    if exit_form == "pallas":
+        inv_cnt = _bucket_inv_coverage_exit_t(
+            grid_shape, bucket, roi_size, overlap, blend, sigma_scale,
+            out_channels)
+    else:
+        inv_cnt = _bucket_inv_coverage(
+            grid_shape, bucket, roi_size, overlap, blend, sigma_scale,
+            s2d_logits)
     out = _sliding_window_jit(
         padded,
         starts_dev,
@@ -770,6 +832,10 @@ def sliding_window_inference_bucketed(
         compute_dtype=compute_dtype,
         patch_s2d=patch_s2d,
         s2d_logits=s2d_logits,
+        exit_form=exit_form,
+        vol_pre_s2d=vol_pre_s2d,
     )
+    if exit_form == "pallas":
+        return out                       # (Db, Hb, Wb*O) flat bucket volume
     sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))
     return out[sl[0], sl[1], sl[2], :]

@@ -94,13 +94,28 @@ def pool_bwd_supported(h2: int, w2: int, c: int) -> bool:
     return 2 * (2 * slab) + 2 * 2 * small + 4 * slab < 80 * 1024 * 1024
 
 
-def _make_pool_fwd_kernel(c: int):
+def _make_pool_fwd_kernel(c: int, kd: int):
     def kernel(xs_ref, m_ref):
         # max in f32 (Mosaic rejects bf16 cmpf on v5e); exact for bf16
-        m8 = _roll_tree(xs_ref[0, 0].astype(jnp.float32), c, jnp.maximum)
-        m_ref[0, 0] = m8[..., :c].astype(m_ref.dtype)
+        for i in range(kd):
+            m8 = _roll_tree(xs_ref[0, i].astype(jnp.float32), c,
+                            jnp.maximum)
+            m_ref[0, i] = m8[..., :c].astype(m_ref.dtype)
 
     return kernel
+
+
+def _pool_kd(d2: int, h2: int, w2: int, c: int) -> int:
+    """Rows per grid step: larger DMAs lift the kernel off its ~47 GB/s
+    single-row floor (the per-row slab is ~1 MB at the level-1 shape);
+    bounded by VMEM (double-buffered in+out) and divisibility."""
+    c8 = 8 * c
+    slab = h2 * max(w2, 8) * max(c8, 128) * 2
+    small = h2 * max(w2, 8) * max(c, 128) * 2
+    for kd in (4, 2):
+        if d2 % kd == 0 and 2 * kd * (slab + small) + 2 * slab < 96 * 1024 * 1024:
+            return kd
+    return 1
 
 
 def pool_fwd_pallas(xs: jnp.ndarray, c: int, *,
@@ -117,28 +132,29 @@ def pool_fwd_pallas(xs: jnp.ndarray, c: int, *,
     (B, d2+2, ...); the kernel reads rows 1..d2 via its index map — the
     pad costs nothing here."""
     b, d2, h2, w2, c8 = xs.shape
-    if interior:
-        d2 -= 2
+    # interior: pool the PAD rows too (zero lanes pool to exact zeros) —
+    # block-granular index maps cannot express a +1 row offset at kd > 1
+    # and the two extra rows are cheaper than per-row DMAs; the interior
+    # slice below fuses into consumers
+    kd = _pool_kd(d2, h2, w2, c)
 
     def row(bb, z):
-        return (bb, z + 1, 0, 0, 0) if interior else (bb, z, 0, 0, 0)
-
-    def orow(bb, z):
         return (bb, z, 0, 0, 0)
 
-    return pl.pallas_call(
-        _make_pool_fwd_kernel(c),
-        grid=(b, d2),
+    out = pl.pallas_call(
+        _make_pool_fwd_kernel(c, kd),
+        grid=(b, d2 // kd),
         in_specs=[
-            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, h2, w2, c8), row, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h2, w2, c), orow,
+        out_specs=pl.BlockSpec((1, kd, h2, w2, c), row,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d2, h2, w2, c), xs.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xs)
+    return out[:, 1:-1] if interior else out
 
 
 def pool_fwd_supported(h2: int, w2: int, c: int) -> bool:

@@ -84,7 +84,7 @@ def main():
             out_channels=2, sw_batch=params["sw_batch_size"],
             overlap=0.25, blend=params["sw_blend"],
             compute_dtype=jnp.bfloat16, patch_s2d=use_s2d,
-            s2d_logits=use_s2d)
+            s2d_logits=use_s2d, flat_output=True)
 
     def sync(x):
         np.asarray(x[(0,) * x.ndim])
@@ -108,13 +108,26 @@ def main():
     fixed = [make_vol((182, 218, 182)), make_vol((182, 218, 182))]
     mixed = [make_vol(s) for s in SHAPES_MIXED]
 
-    # correctness spot-check: bucketed == exact at the fixed shape
+    # correctness spot-check: bucketed vs exact at the fixed shape. The
+    # two ENGINES are exact-math-equal (CPU: bit-identical, tested), but
+    # on TPU the model compiles into two different programs whose bf16
+    # fusion/reduction orders differ by ulps, which an UNTRAINED
+    # instance-normed net amplifies — so report the logit diff AND the
+    # decision (argmax) disagreement rate, the clinically meaningful one.
     a = np.asarray(run_exact(fixed[0]))
-    b = np.asarray(run_bucket(fixed[0]))
-    b = b.reshape(a.shape) if a.shape != b.shape else b
-    err = float(np.abs(a - b.reshape(a.shape)).max())
-    print(f"bucket-vs-exact max abs diff at fixed shape: {err:.3e}",
-          flush=True)
+    D, H, W = fixed[0].shape[:3]
+    bflat = np.asarray(run_bucket(fixed[0]))
+    if bflat.ndim == 3:   # flat bucket volume: free view back to 4-D
+        Db, Hb = bflat.shape[:2]
+        Wb = bflat.shape[2] // 2
+        b = bflat.reshape(Db, Hb, Wb, 2)[:D, :H, :W]
+    else:
+        b = bflat
+    a4 = a.reshape(D, H, W, 2)
+    err = float(np.abs(a4 - b).max())
+    dis = float((np.argmax(a4, -1) != np.argmax(b, -1)).mean())
+    print(f"bucket-vs-exact at fixed shape: max abs logit diff {err:.3e}, "
+          f"argmax disagreement {dis:.2e}", flush=True)
 
     r_exact = stream(run_exact, fixed)
     print(f"exact@fixed   : {r_exact:.3f} vol/s", flush=True)

@@ -246,3 +246,39 @@ def test_patch_pad_gather_matches_unpadded():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=0)
+
+
+def test_bucketed_s2d_logits_matches_exact():
+    """The bucketed engine's s2d blending path (the one real s2d models
+    route through) matches the exact engine bit-for-bit, including the
+    fused flat exit (bucket-shaped output + free view back)."""
+    from fcd_tpu.infer.sliding_window import sliding_window_inference_bucketed
+    from fcd_tpu.kernels.block_conv import depth_to_space, space_to_depth
+
+    o = 2
+    wm = jnp.asarray(np.random.RandomState(1).rand(2, o).astype(np.float32))
+
+    def pred_s2d(p):
+        dense = depth_to_space(p, 2)
+        out = jnp.einsum("bdhwc,co->bdhwo", dense, wm)
+        return space_to_depth(out)
+
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(24, 32, 24, 2).astype(np.float32))
+    ref = np.asarray(sliding_window_inference(
+        vol, pred_s2d, roi_size=(16, 16, 16), out_channels=o,
+        sw_batch=2, overlap=0.25, patch_s2d=True, s2d_logits=True))
+    got = np.asarray(sliding_window_inference_bucketed(
+        vol, pred_s2d, roi_size=(16, 16, 16), out_channels=o,
+        sw_batch=2, overlap=0.25, patch_s2d=True, s2d_logits=True,
+        bucket_multiple=8))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+    flat = np.asarray(sliding_window_inference_bucketed(
+        vol, pred_s2d, roi_size=(16, 16, 16), out_channels=o,
+        sw_batch=2, overlap=0.25, patch_s2d=True, s2d_logits=True,
+        bucket_multiple=8, flat_output=True))
+    db, hb = flat.shape[:2]
+    wb = flat.shape[2] // o
+    view = flat.reshape(db, hb, wb, o)[:24, :32, :24]
+    np.testing.assert_allclose(view, ref, rtol=0, atol=1e-6)
