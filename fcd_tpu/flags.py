@@ -125,6 +125,11 @@ FLAGS: Dict[str, Flag] = {
         tested="test_attention_math (both)"),
 
     # ---- pooling ----------------------------------------------------------
+    "FCD_FINALE_POOL": Flag(
+        "1", "Fuse the encoder resblock finale + padded-chain emission + "
+        "2x max pool into one Pallas pass (the pool's full re-read of the "
+        "finale tensor never happens); off = separate finale fusion + "
+        "pool kernel.", tested="test_s2d_blocks::test_finale_pool_parity"),
     "FCD_POOL_FWD_KERNEL": Flag(
         "1", "Pallas rotation-tree max-pool forward (full-lane VPU "
         "reduction); off = lane-slice maximum.", tested="test_flags_matrix"),

@@ -43,7 +43,8 @@ _EPS = 1e-12  # matches ops.attention._l2_normalize
 
 
 def _pick_tile(n: int) -> int:
-    """Token-tile size: bounded VMEM, N must tile evenly."""
+    """Token-tile size: bounded VMEM, N must tile evenly (4096 A/B'd vs
+    1024 on v5e in-model: 0.91 vs 0.97 ms phase B at the level-3 shape)."""
     for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if n % t == 0:
             return min(t, n)

@@ -162,3 +162,83 @@ def pool_fwd_supported(h2: int, w2: int, c: int) -> bool:
     slab = h2 * max(w2, 8) * max(c8, 128) * 2
     small = h2 * max(w2, 8) * max(c, 128) * 2
     return 2 * (slab + small) + 2 * slab < 80 * 1024 * 1024
+
+
+def _make_finale_pool_kernel(c: int, neg_slope: float):
+    def kernel(y2_ref, r_ref, s2_ref, sh2_ref, sr_ref, shr_ref,
+               out_ref, m_ref):
+        y2 = y2_ref[0, 0].astype(jnp.float32)     # (h2, w2, 8c)
+        r = r_ref[0, 0].astype(jnp.float32)
+        t = (y2 * s2_ref[0] + sh2_ref[0]) + (r * sr_ref[0] + shr_ref[0])
+        f = jnp.where(t >= 0, t, neg_slope * t)
+        fb = f.astype(out_ref.dtype)
+        out_ref[0, 0] = fb
+        # pool the bf16-ROUNDED finale (bit-parity with the separate
+        # pool consuming the materialized tensor); compare in f32
+        m8 = _roll_tree(fb.astype(jnp.float32), c, jnp.maximum)
+        m_ref[0, 0] = m8[..., :c].astype(m_ref.dtype)
+
+    return kernel
+
+
+def fused_finale_pool(y2: jnp.ndarray, r: jnp.ndarray,
+                      scale2: jnp.ndarray, shift2: jnp.ndarray,
+                      scale_r: jnp.ndarray, shift_r: jnp.ndarray,
+                      c: int, neg_slope: float, *,
+                      out_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """Eval resblock finale + padded-chain emission + 2x max pool in ONE
+    pass: out = leaky_relu(y2*scale2+shift2 + r*scale_r+shift_r), written
+    with its (+1, +1) zero depth pad, and the parity-lane max pool of the
+    same rows — the separate pool pass's full re-read of the finale
+    tensor (~0.85 ms/volume at level 1) never happens.
+
+    y2: (B, d2, h2, w2, 8c); r: (B, >=d2, h2, w2, 8c) (the conv kernel's
+    res output — its extra halo row is ignored via the index map);
+    affines: (B, 8c) f32. Returns (out_padded (B, d2+2, ...), pooled
+    (B, d2, h2, w2, c))."""
+    b, d2, h2, w2, c8 = y2.shape
+
+    def row(bb, z):
+        return (bb, z, 0, 0, 0)
+
+    def orow(bb, z):
+        return (bb, z + 1, 0, 0, 0)
+
+    aff = pl.BlockSpec((1, c8), lambda bb, z: (bb, 0),
+                       memory_space=pltpu.VMEM)
+    outp, pooled = pl.pallas_call(
+        _make_finale_pool_kernel(c, neg_slope),
+        grid=(b, d2),
+        in_specs=[
+            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
+            aff, aff, aff, aff,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, h2, w2, c8), orow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d2 + 2, h2, w2, c8), out_dtype),
+            jax.ShapeDtypeStruct((b, d2, h2, w2, c), out_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(y2, r, scale2.astype(jnp.float32),
+      shift2.astype(jnp.float32), scale_r.astype(jnp.float32),
+      shift_r.astype(jnp.float32))
+    # the kernel never writes the pad rows: zero them in place
+    zrow = jnp.zeros((b, 1, h2, w2, c8), out_dtype)
+    outp = jax.lax.dynamic_update_slice(outp, zrow, (0, 0, 0, 0, 0))
+    outp = jax.lax.dynamic_update_slice(outp, zrow, (0, d2 + 1, 0, 0, 0))
+    return outp, pooled
+
+
+def finale_pool_supported(h2: int, w2: int, c: int) -> bool:
+    c8 = 8 * c
+    slab = h2 * max(w2, 8) * max(c8, 128) * 2
+    acc = h2 * max(w2, 8) * max(c8, 128) * 4
+    small = h2 * max(w2, 8) * max(c, 128) * 2
+    return 2 * (2 * slab + slab + small) + 3 * acc < 90 * 1024 * 1024

@@ -126,14 +126,14 @@ class _MSDSACore(nn.Module):
             full = x.shape[1:4]
 
         def encoder(feats, inp, emit_s2d=False, s2d_parts=None,
-                    emit_pad=False):
+                    emit_pad=False, emit_pool=False):
             return UnetrBasicBlock(
                 out_channels=feats, kernel_size=3, stride=1,
                 norm_name=self.norm_name, act_name=self.act_name,
                 res_block=self.res_block, use_bias=self.use_bias,
                 dtype=self.dtype,
             )(inp, train=train, emit_s2d=emit_s2d, s2d_parts=s2d_parts,
-              emit_pad=emit_pad)
+              emit_pad=emit_pad, emit_pool=emit_pool)
 
         # s2d residency for the two full/half-resolution levels (HBM-bound on
         # lane padding): encoders emit s2d, skips stay s2d all the way to the
@@ -166,28 +166,40 @@ class _MSDSACore(nn.Module):
         x1s = x2s = None
         pad1 = pad_chain and use_s2d1
         pad2 = pad_chain and use_s2d2
+        # fuse the encoder finale + padded emission + pool into one Pallas
+        # pass (the pool's re-read of the finale tensor never happens)
+        fuse_pool = pad_chain and _fcd_flags.get("FCD_FINALE_POOL") != "0"
         if use_s2d1:
             if x_is_s2d:
                 if x_pad_in and not pad_chain:
                     x = x[:, 1:-1]
                     x_pad_in = False
-                x1s = encoder(fs, None, emit_s2d=True,
-                              s2d_parts=[(x, cin, x_pad_in)],
-                              emit_pad=pad1)
+                enc1_parts = [(x, cin, x_pad_in)]
             else:
-                x1s = encoder(fs, x, emit_s2d=True, emit_pad=pad1)
+                enc1_parts = None
+            if fuse_pool:
+                x1s, pool1 = encoder(fs, None if enc1_parts else x,
+                                     emit_s2d=True, s2d_parts=enc1_parts,
+                                     emit_pad=pad1, emit_pool=True)
+            else:
+                x1s = encoder(fs, None if enc1_parts else x, emit_s2d=True,
+                              s2d_parts=enc1_parts, emit_pad=pad1)
+                pool1 = (max_pool_2x_s2d_exit_pad(x1s, fs) if pad1
+                         else max_pool_2x_s2d_exit(x1s, fs))
             x1 = None
-            pool1 = (max_pool_2x_s2d_exit_pad(x1s, fs) if pad1
-                     else max_pool_2x_s2d_exit(x1s, fs))
         else:
             x1 = encoder(fs, x)
             pool1 = max_pool_2x(x1)
 
         if use_s2d2:
-            x2s = encoder(fs * 2, pool1, emit_s2d=True, emit_pad=pad2)
+            if fuse_pool:
+                x2s, pool2 = encoder(fs * 2, pool1, emit_s2d=True,
+                                     emit_pad=pad2, emit_pool=True)
+            else:
+                x2s = encoder(fs * 2, pool1, emit_s2d=True, emit_pad=pad2)
+                pool2 = (max_pool_2x_s2d_exit_pad(x2s, fs * 2) if pad2
+                         else max_pool_2x_s2d_exit(x2s, fs * 2))
             x2 = None
-            pool2 = (max_pool_2x_s2d_exit_pad(x2s, fs * 2) if pad2
-                     else max_pool_2x_s2d_exit(x2s, fs * 2))
         else:
             x2 = encoder(fs * 2, pool1)
             pool2 = max_pool_2x(x2)

@@ -120,7 +120,8 @@ class UnetResBlock(nn.Module):
         return 0.01
 
     def _s2d_forward(self, parts, train: bool, emit_s2d: bool = False,
-                     head=None, emit_pad: bool = False):
+                     head=None, emit_pad: bool = False,
+                     emit_pool: bool = False):
         import os
 
         from fcd_tpu.ops.s2d_ops import (
@@ -171,11 +172,12 @@ class UnetResBlock(nn.Module):
                 else jnp.float32,
                 head=head,
                 emit_pad=emit_pad and emit_s2d and head is None,
+                emit_pool=emit_pool and emit_s2d and head is None,
             )
             if head is not None:
                 return out  # s2d logits — caller owns the exit layout
             if emit_s2d:
-                return out
+                return out  # (out, pooled) tuple when emit_pool
             return from_s2d(out, oc)
 
         # the composed path and the residual 1x1 consume the interior
@@ -308,17 +310,27 @@ class UnetResBlock(nn.Module):
         if emit_s2d:
             if emit_pad:
                 out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            if emit_pool:
+                from fcd_tpu.ops.s2d_ops import (
+                    max_pool_2x_s2d_exit,
+                    max_pool_2x_s2d_exit_pad,
+                )
+
+                pooled = (max_pool_2x_s2d_exit_pad(out, oc) if emit_pad
+                          else max_pool_2x_s2d_exit(out, oc))
+                return out, pooled
             return out
         return from_s2d(out, oc)
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
-                 emit_s2d: bool = False, head=None, emit_pad: bool = False):
+                 emit_s2d: bool = False, head=None, emit_pad: bool = False,
+                 emit_pool: bool = False):
         from fcd_tpu.ops.s2d_ops import to_s2d
 
         if s2d_parts is not None:
             return self._s2d_forward(s2d_parts, train, emit_s2d, head=head,
-                                     emit_pad=emit_pad)
+                                     emit_pad=emit_pad, emit_pool=emit_pool)
 
         in_channels = x.shape[-1]
         elig = _s2d_block_eligible(
@@ -344,9 +356,10 @@ class UnetResBlock(nn.Module):
                 # (elementwise producer) instead of a standalone pass
                 xs = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
                 return self._s2d_forward([(xs, in_channels, True)], train,
-                                         emit_s2d, emit_pad=emit_pad)
+                                         emit_s2d, emit_pad=emit_pad,
+                                         emit_pool=emit_pool)
             return self._s2d_forward([(xs, in_channels)], train, emit_s2d,
-                                     emit_pad=emit_pad)
+                                     emit_pad=emit_pad, emit_pool=emit_pool)
 
         act = make_act(self.act_name)
         out = Conv3d(self.out_channels, self.kernel_size, self.stride,
@@ -410,7 +423,8 @@ class UnetrBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False, s2d_parts=None,
-                 emit_s2d: bool = False, emit_pad: bool = False):
+                 emit_s2d: bool = False, emit_pad: bool = False,
+                 emit_pool: bool = False):
         cls = UnetResBlock if self.res_block else UnetBasicBlock
         block = cls(
             out_channels=self.out_channels,
@@ -423,7 +437,8 @@ class UnetrBasicBlock(nn.Module):
         )
         if self.res_block:
             return block(x, train=train, s2d_parts=s2d_parts,
-                         emit_s2d=emit_s2d, emit_pad=emit_pad)
+                         emit_s2d=emit_s2d, emit_pad=emit_pad,
+                         emit_pool=emit_pool)
         return block(x, train=train)
 
 

@@ -866,7 +866,7 @@ def _inorm_affine_from_sums(s1: jnp.ndarray, s2: jnp.ndarray, c: int,
 
 def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
                           norm_name: str, bn_affines, out_dtype, head=None,
-                          emit_pad: bool = False):
+                          emit_pad: bool = False, emit_pool: bool = False):
     """Eval-mode UnetResBlock via the HALF-OFFSET 8-tap kernel pair:
     conv1 runs aligned->offset, conv2 offset->aligned (with norm1 + act
     fused into its VMEM prologue), so each conv carries only 64/27 = 2.37x
@@ -935,9 +935,10 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
     if want_stats:
         s1sum, s1sq = outs[i], outs[i + 1]
         i += 2
-    r = rsum8 = rsq8 = None
+    r = r_full = rsum8 = rsq8 = None
     if need_res:
-        r = outs[i][:, :d2]          # last depth row is the zero-halo row
+        r_full = outs[i]             # (B, d2+1, ...): halo row kept for
+        r = r_full[:, :d2]           # the finale-pool kernel's index map
         i += 1
         if want_stats:
             rsum8, rsq8 = outs[i], outs[i + 1]
@@ -1003,6 +1004,21 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
             y2, rin, sc, sh, scr, shr, wh_blk, bias8, neg_slope=slope,
             out_dtype=out_dtype, interpret=interpret)
 
+    if emit_pool and emit_pad and need_res:
+        # finale + padded emission + 2x max pool in ONE Pallas pass: the
+        # pool's full re-read of the finale tensor never happens
+        # (kernels/pool.fused_finale_pool); r's halo row is skipped by
+        # the kernel's index map
+        from fcd_tpu.kernels.pool import (
+            finale_pool_supported,
+            fused_finale_pool,
+        )
+
+        if finale_pool_supported(h2, w2s, oc):
+            return fused_finale_pool(
+                y2, r_full, sc, sh, scr, shr, oc, slope,
+                out_dtype=out_dtype, interpret=interpret)
+
     scale2 = sc[:, None, None, None, :]
     shift2 = sh[:, None, None, None, :]
     if need_res:
@@ -1018,13 +1034,16 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
         # finale (probe: elementwise+pad 0.607 ms vs elementwise alone
         # 0.712 on v5e) — the consumer a2o/pool kernels read it directly
         out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    if emit_pool:
+        pooled = _pool_max(out[:, 1:-1] if emit_pad else out, oc)
+        return out, pooled
     return out
 
 
 def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
                         norm_name: str = "instance", bn_affines=None,
                         out_dtype=jnp.bfloat16, head=None,
-                        emit_pad: bool = False):
+                        emit_pad: bool = False, emit_pool: bool = False):
     """Eval-mode UnetResBlock on aligned s2d parts with kernel-fused norms.
 
     head=(kernel, bias|None): fuse a 1x1 segmentation head into the block
@@ -1054,16 +1073,22 @@ def fused_resblock_eval(parts, w1, w2, wres, oc: int, slope: float,
     if _fcd_flags.get("FCD_CONV8") != "0":
         return _fused_resblock_eval8(parts, w1, w2, wres, oc, slope,
                                      norm_name, bn_affines, out_dtype,
-                                     head=head, emit_pad=emit_pad)
+                                     head=head, emit_pad=emit_pad,
+                                     emit_pool=emit_pool)
     # 27-tap fallback path consumes the interior view (the pads were free
     # to produce; a slice here costs one pass — acceptable for the A/B
     # reference form)
     parts = [(xs[:, 1:-1] if pre else xs, c) for xs, c, pre in parts]
-    if emit_pad:
+    if emit_pad or emit_pool:
         out = fused_resblock_eval(parts, w1, w2, wres, oc, slope,
                                   norm_name, bn_affines, out_dtype,
                                   head=head)
-        return jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        if emit_pad:
+            out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        if emit_pool:
+            pooled = _pool_max(out[:, 1:-1] if emit_pad else out, oc)
+            return out, pooled
+        return out
     from fcd_tpu.kernels.block_conv import (
         blocked_conv_s2d_fused,
         make_blocked_weights_1x1,

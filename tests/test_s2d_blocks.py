@@ -516,6 +516,9 @@ def test_pad_chain_model_parity(monkeypatch):
     variables = init_model(model, params, seed=0)
     x = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 32, 2),
                     jnp.float32)
+    # isolate the pad chain: the finale+pool kernel (its own parity test)
+    # differs from the XLA finale by fma rounding
+    monkeypatch.setenv("FCD_FINALE_POOL", "0")
     monkeypatch.setenv("FCD_PAD_CHAIN", "0")
     ref = np.asarray(model.apply(variables, x, train=False))
     monkeypatch.setenv("FCD_PAD_CHAIN", "1")
@@ -635,3 +638,50 @@ def test_pool_exit_pad_grad_parity():
     np.testing.assert_array_equal(g_pad[:, 0], 0.0)
     np.testing.assert_array_equal(g_pad[:, -1], 0.0)
     np.testing.assert_allclose(g_pad[:, 1:-1], g_ref, rtol=0, atol=0)
+
+
+def test_finale_pool_parity(monkeypatch):
+    """The fused finale+pad+pool kernel (FCD_FINALE_POOL) reproduces the
+    separate finale + pool exactly, and the model output is unchanged."""
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.models.factory import get_model, init_model
+    from fcd_tpu.ops.s2d_ops import fused_resblock_eval, max_pool_2x_s2d_exit
+
+    monkeypatch.setenv("FCD_CONV8", "1")
+    rng = np.random.RandomState(51)
+    oc = 16
+    a = jnp.asarray(rng.rand(1, 8, 8, 8, 8).astype(np.float32)) - 0.5
+    w1 = jnp.asarray(rng.rand(3, 3, 3, 8, oc).astype(np.float32)) * 0.4 - 0.2
+    w2 = jnp.asarray(rng.rand(3, 3, 3, oc, oc).astype(np.float32)) * 0.4 - 0.2
+    wres = jnp.asarray(rng.rand(8, oc).astype(np.float32)) * 0.4 - 0.2
+    ref = fused_resblock_eval([(to_s2d(a), 8)], w1, w2, wres, oc, 0.01,
+                              out_dtype=jnp.bfloat16, emit_pad=True)
+    ref_pool = max_pool_2x_s2d_exit(ref[:, 1:-1], oc)
+    got, got_pool = fused_resblock_eval(
+        [(to_s2d(a), 8)], w1, w2, wres, oc, 0.01, out_dtype=jnp.bfloat16,
+        emit_pad=True, emit_pool=True)
+    # bf16-ulp tolerance: the interpret-mode kernel and the XLA CPU
+    # fusion contract the same f32 expression with different fma rounding
+    scale = np.abs(np.asarray(ref, np.float32)).max()
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=0.01 * scale)
+    np.testing.assert_allclose(np.asarray(got_pool, np.float32),
+                               np.asarray(ref_pool, np.float32),
+                               rtol=0, atol=0.01 * scale)
+
+    # model-level: FCD_FINALE_POOL off == on
+    params = get_default_params()
+    params.update(patch_size=32, feature_size=4, project_size=8,
+                  chans_in=2, chans_out=2, use_amp=False,
+                  model_type="MS_DSA_NET")
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    x = jnp.asarray(np.random.RandomState(8).rand(1, 32, 32, 32, 2),
+                    jnp.float32)
+    monkeypatch.setenv("FCD_FINALE_POOL", "0")
+    r0 = np.asarray(model.apply(variables, x, train=False))
+    monkeypatch.setenv("FCD_FINALE_POOL", "1")
+    r1 = np.asarray(model.apply(variables, x, train=False))
+    scale = np.abs(r0).max()
+    np.testing.assert_allclose(r1, r0, rtol=0, atol=0.02 * scale)
