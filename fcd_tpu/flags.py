@@ -125,6 +125,12 @@ FLAGS: Dict[str, Flag] = {
         tested="test_attention_math (both)"),
 
     # ---- pooling ----------------------------------------------------------
+    "FCD_BLOCK_ENTRY_S2D": Flag(
+        "reshape", "s2d form for inter-level block entries: 'conv' = "
+        "one-hot stride-2 conv (the volume entry's 3x-faster lowering). "
+        "A/B on v5e: 66.4 vs 64.6 ms/volume — the conv form wins only at "
+        "volume scale; bit-identical.", values="reshape|conv",
+        status="dead-end", tested="test_flags_matrix"),
     "FCD_FINALE_POOL": Flag(
         "1", "Fuse the encoder resblock finale + padded-chain emission + "
         "2x max pool into one Pallas pass (the pool's full re-read of the "

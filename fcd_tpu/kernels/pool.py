@@ -164,19 +164,20 @@ def pool_fwd_supported(h2: int, w2: int, c: int) -> bool:
     return 2 * (slab + small) + 2 * slab < 80 * 1024 * 1024
 
 
-def _make_finale_pool_kernel(c: int, neg_slope: float):
+def _make_finale_pool_kernel(c: int, neg_slope: float, kd: int):
     def kernel(y2_ref, r_ref, s2_ref, sh2_ref, sr_ref, shr_ref,
                out_ref, m_ref):
-        y2 = y2_ref[0, 0].astype(jnp.float32)     # (h2, w2, 8c)
-        r = r_ref[0, 0].astype(jnp.float32)
-        t = (y2 * s2_ref[0] + sh2_ref[0]) + (r * sr_ref[0] + shr_ref[0])
-        f = jnp.where(t >= 0, t, neg_slope * t)
-        fb = f.astype(out_ref.dtype)
-        out_ref[0, 0] = fb
-        # pool the bf16-ROUNDED finale (bit-parity with the separate
-        # pool consuming the materialized tensor); compare in f32
-        m8 = _roll_tree(fb.astype(jnp.float32), c, jnp.maximum)
-        m_ref[0, 0] = m8[..., :c].astype(m_ref.dtype)
+        for i in range(kd):
+            y2 = y2_ref[0, i].astype(jnp.float32)     # (h2, w2, 8c)
+            r = r_ref[0, i].astype(jnp.float32)
+            t = (y2 * s2_ref[0] + sh2_ref[0]) + (r * sr_ref[0] + shr_ref[0])
+            f = jnp.where(t >= 0, t, neg_slope * t)
+            fb = f.astype(out_ref.dtype)
+            out_ref[0, i] = fb
+            # pool the bf16-ROUNDED finale (bit-parity with the separate
+            # pool consuming the materialized tensor); compare in f32
+            m8 = _roll_tree(fb.astype(jnp.float32), c, jnp.maximum)
+            m_ref[0, i] = m8[..., :c].astype(m_ref.dtype)
 
     return kernel
 
@@ -198,6 +199,10 @@ def fused_finale_pool(y2: jnp.ndarray, r: jnp.ndarray,
     affines: (B, 8c) f32. Returns (out_padded (B, d2+2, ...), pooled
     (B, d2, h2, w2, c))."""
     b, d2, h2, w2, c8 = y2.shape
+    # rows stay un-batched: the padded output's +1-row offset is only
+    # expressible in block units at kd == 1 (same constraint as the
+    # interior pool reads)
+    kd = 1
 
     def row(bb, z):
         return (bb, z, 0, 0, 0)
@@ -208,16 +213,16 @@ def fused_finale_pool(y2: jnp.ndarray, r: jnp.ndarray,
     aff = pl.BlockSpec((1, c8), lambda bb, z: (bb, 0),
                        memory_space=pltpu.VMEM)
     outp, pooled = pl.pallas_call(
-        _make_finale_pool_kernel(c, neg_slope),
-        grid=(b, d2),
+        _make_finale_pool_kernel(c, neg_slope, kd),
+        grid=(b, d2 // kd),
         in_specs=[
-            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2, c8), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, h2, w2, c8), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, h2, w2, c8), row, memory_space=pltpu.VMEM),
             aff, aff, aff, aff,
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, h2, w2, c8), orow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, h2, w2, c8), orow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, h2, w2, c), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, d2 + 2, h2, w2, c8), out_dtype),

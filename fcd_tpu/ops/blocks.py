@@ -350,7 +350,16 @@ class UnetResBlock(nn.Module):
                 self.act_name, self.dtype, taps=8,
             )
         if elig:
-            xs = to_s2d(x.astype(jnp.bfloat16))
+            if (_fcd_flags.get("FCD_BLOCK_ENTRY_S2D") == "conv"
+                    and jax.default_backend() == "tpu"):
+                # one-hot-conv s2d form for the block entry: the volume
+                # entry measured 3x faster than the reshape+transpose
+                # lowering; A/B for the inter-level entries (copy.651)
+                from fcd_tpu.kernels.block_conv import space_to_depth_fast
+
+                xs = space_to_depth_fast(x.astype(jnp.bfloat16))
+            else:
+                xs = to_s2d(x.astype(jnp.bfloat16))
             if _pad_chain_ok(train, self.norm_name, self.use_bias):
                 # padded-chain entry: the pad rides the to_s2d regroup
                 # (elementwise producer) instead of a standalone pass

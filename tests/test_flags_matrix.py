@@ -161,3 +161,14 @@ def test_sw_dynamic_vs_static_gate(monkeypatch):
     monkeypatch.setenv("FCD_SW_STATIC", "0")
     got = np.asarray(sliding_window_inference(vol, predictor, **kw))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_block_entry_s2d_conv_parity(monkeypatch):
+    """'conv' and 'reshape' block-entry s2d forms are bit-identical."""
+    from fcd_tpu.kernels.block_conv import space_to_depth, space_to_depth_fast
+
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 16, 16, 16, 16),
+                    jnp.bfloat16)
+    a = np.asarray(space_to_depth(x), np.float32)
+    b = np.asarray(space_to_depth_fast(x), np.float32)
+    np.testing.assert_array_equal(a, b)
