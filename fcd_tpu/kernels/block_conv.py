@@ -1306,7 +1306,9 @@ def blocked_conv_o2a(ys: jnp.ndarray, wblk8: jnp.ndarray, aligned_w: int, *,
 
 
 def _make_dw8_kernel(h_t: int, w_t: int, *, vmem_halo: bool = False,
-                     w_pad_to: int = 0):
+                     w_pad_to: int = 0, prologue: bool = False,
+                     neg_slope: float = 1.0, h_last: int = 0,
+                     w_last: int = 0, n_rows: int = 0):
     """Weight-gradient kernel for the half-offset 8-tap pair: for each of
     the 8 slab shifts s, dW_blk[s] += (shifted source slab)^T (cotangent
     slab) — the exact adjoint of _make_fused8_kernel's tap loop,
@@ -1314,9 +1316,19 @@ def _make_dw8_kernel(h_t: int, w_t: int, *, vmem_halo: bool = False,
     directions: a2o (source = padded aligned rows, cotangent = offset
     rows) and o2a (source = offset rows, cotangent = aligned rows) —
     only the slab dims differ. vmem_halo (a2o direction): the source
-    arrives depth-padded only; H/W halo composed in VMEM per row."""
+    arrives depth-padded only; H/W halo composed in VMEM per row.
 
-    def kernel(x_lo_ref, x_hi_ref, g_ref, dw_ref):
+    prologue (o2a direction): apply the previous norm's affine +
+    leaky-relu + offset pad-slot re-zeroing to the source slabs in VMEM
+    (mirroring _make_fused8_kernel's o2a prologue) — the backward's
+    activated tensor never materializes in HBM. n_rows = d2+1 (the
+    offset tensor's depth rows, for the depth-parity mask)."""
+
+    def kernel(*refs):
+        if prologue:
+            x_lo_ref, x_hi_ref, g_ref, scale_ref, shift_ref, dw_ref = refs
+        else:
+            x_lo_ref, x_hi_ref, g_ref, dw_ref = refs
         z = pl.program_id(1)
         b = pl.program_id(0)
 
@@ -1324,14 +1336,27 @@ def _make_dw8_kernel(h_t: int, w_t: int, *, vmem_halo: bool = False,
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        def load(ref):
+        if prologue:
+            h_in, w_in = x_lo_ref.shape[2], x_lo_ref.shape[3]
+            c8 = x_lo_ref.shape[-1]
+            in_keep = _parity_lane_masks(h_in, w_in, c8, h_last, w_last)
+            pz_in = _pz_lanes(h_in, w_in, c8)
+
+        def load(ref, r):
             t = ref[0, 0]
             if vmem_halo:
                 t = jnp.pad(
                     t, ((1, 1), (1, w_pad_to - 1 - t.shape[1]), (0, 0)))
+            if prologue:
+                tf = t.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+                if neg_slope != 1.0:
+                    tf = jnp.where(tf >= 0, tf, neg_slope * tf)
+                keep = in_keep & ((r > 0) | (pz_in == 1)) & (
+                    (r < n_rows - 1) | (pz_in == 0))
+                t = jnp.where(keep, tf, 0.0).astype(g_ref.dtype)
             return t
 
-        rows = (load(x_lo_ref), load(x_hi_ref))
+        rows = (load(x_lo_ref, z), load(x_hi_ref, z + 1))
         g2 = g_ref[0, 0].reshape(h_t * w_t, g_ref.shape[-1])
         si = 0
         for sz in range(2):
@@ -1397,39 +1422,56 @@ def blocked_conv_a2o_dw(xs: jnp.ndarray, g: jnp.ndarray,
 
 def blocked_conv_o2a_dw(ys: jnp.ndarray, g: jnp.ndarray, aligned_w: int,
                         interpret: bool,
-                        g_pre_padded: bool = False) -> jnp.ndarray:
+                        g_pre_padded: bool = False,
+                        in_scale: Optional[jnp.ndarray] = None,
+                        in_shift: Optional[jnp.ndarray] = None,
+                        neg_slope: float = 1.0) -> jnp.ndarray:
     """dW (8, 8cin, 8cout) f32 for the o2a direction: ys the OFFSET-grid
     input (B, D2+1, H2+1, pad8(W2+1), 8cin) with exact-zero pad slots,
     g the aligned cotangent (B, D2, H2, aligned_w, 8cout).
     g_pre_padded: g carries the (+1, +1) zero depth pad (shared with the
-    adjoint a2o conv of the same backward) — read via index offset."""
+    adjoint a2o conv of the same backward) — read via index offset.
+    in_scale/in_shift (B, 8cin) + neg_slope: norm+act prologue applied
+    to ys in VMEM (the fused-prologue backward's activated tensor never
+    materializes; ys is then the RAW conv1 output)."""
     bsz, d2p, h2p, w2p, c8 = ys.shape
     d2, h2, w2 = d2p - 1, h2p - 1, int(aligned_w)
     cout8 = g.shape[-1]
+    prologue = in_scale is not None
 
     def grow(b, z):
         return (b, z + 1, 0, 0, 0) if g_pre_padded else (b, z, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, h2p, w2p, c8),
+                     lambda b, z: (b, z, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h2p, w2p, c8),
+                     lambda b, z: (b, z + 1, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, h2, w2, cout8), grow,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [ys, ys, g]
+    if prologue:
+        aff = pl.BlockSpec((1, 1, c8), lambda b, z: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        in_specs += [aff, aff]
+        inputs += [in_scale.reshape(bsz, 1, c8).astype(jnp.float32),
+                   in_shift.reshape(bsz, 1, c8).astype(jnp.float32)]
+
     return pl.pallas_call(
-        _make_dw8_kernel(h2, w2),
+        _make_dw8_kernel(h2, w2, prologue=prologue, neg_slope=neg_slope,
+                         h_last=h2, w_last=w2, n_rows=d2p),
         grid=(bsz, d2),
-        in_specs=[
-            pl.BlockSpec((1, 1, h2p, w2p, c8),
-                         lambda b, z: (b, z, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2p, w2p, c8),
-                         lambda b, z: (b, z + 1, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2, cout8), grow,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, c8, cout8), lambda b, z: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, c8, cout8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ys, ys, g)
+    )(*inputs)
 
 
 def unblock_dw8(dwblk: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:

@@ -210,7 +210,7 @@ def fused_finale_pool(y2: jnp.ndarray, r: jnp.ndarray,
     def orow(bb, z):
         return (bb, z + 1, 0, 0, 0)
 
-    aff = pl.BlockSpec((1, c8), lambda bb, z: (bb, 0),
+    aff = pl.BlockSpec((1, 1, c8), lambda bb, z: (bb, 0, 0),
                        memory_space=pltpu.VMEM)
     outp, pooled = pl.pallas_call(
         _make_finale_pool_kernel(c, neg_slope, kd),
@@ -231,9 +231,10 @@ def fused_finale_pool(y2: jnp.ndarray, r: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(y2, r, scale2.astype(jnp.float32),
-      shift2.astype(jnp.float32), scale_r.astype(jnp.float32),
-      shift_r.astype(jnp.float32))
+    )(y2, r, scale2.reshape(b, 1, c8).astype(jnp.float32),
+      shift2.reshape(b, 1, c8).astype(jnp.float32),
+      scale_r.reshape(b, 1, c8).astype(jnp.float32),
+      shift_r.reshape(b, 1, c8).astype(jnp.float32))
     # the kernel never writes the pad rows: zero them in place
     zrow = jnp.zeros((b, 1, h2, w2, c8), out_dtype)
     outp = jax.lax.dynamic_update_slice(outp, zrow, (0, 0, 0, 0, 0))

@@ -630,17 +630,19 @@ def _conv8_o2a_act_bwd(aligned_w, slope, out_dtype, res, g):
     da = blocked_conv_a2o(gb, wab, want_stats=False, out_dtype=jnp.bfloat16,
                           interpret=_interp(), pre_padded=True)[0]
 
-    # recompute the prologue: t = affine(y1o), a = masked leaky-relu(t)
+    # the dw kernel recomputes the prologue (affine + act + mask) in its
+    # own VMEM — the activated tensor never materializes in HBM
+    dwblk = blocked_conv_o2a_dw(y1o.astype(jnp.bfloat16), gb, aligned_w,
+                                _interp(), g_pre_padded=True,
+                                in_scale=scale, in_shift=shift,
+                                neg_slope=slope)
+    dw = unblock_dw8(dwblk, c, w.shape[4]).astype(w.dtype)
+
+    # prologue backward (one fused elementwise pass + two reductions)
     keep = offset_keep_mask(y1o.shape[1], y1o.shape[2], y1o.shape[3],
                             y1o.shape[4], h2, w2)[None]
     yf = y1o.astype(jnp.float32)
     t = yf * scale[:, None, None, None, :] + shift[:, None, None, None, :]
-    a = jnp.where(keep, jnp.where(t >= 0, t, slope * t), 0.0)
-    dwblk = blocked_conv_o2a_dw(a.astype(jnp.bfloat16), gb, aligned_w,
-                                _interp(), g_pre_padded=True)
-    dw = unblock_dw8(dwblk, c, w.shape[4]).astype(w.dtype)
-
-    # prologue backward (one fused elementwise pass + two reductions)
     dt = (da.astype(jnp.float32)
           * jnp.where(t >= 0, 1.0, slope)
           * keep.astype(jnp.float32))
