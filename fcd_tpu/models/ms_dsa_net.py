@@ -105,7 +105,7 @@ class _MSDSACore(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, x_is_s2d: bool = False,
-                 emit_s2d_logits: bool = False):
+                 emit_s2d_logits: bool = False, x_padded=None):
         from fcd_tpu.ops.blocks import _s2d_block_eligible
         from fcd_tpu.ops.s2d_ops import from_s2d, max_pool_2x_s2d_exit
 
@@ -115,9 +115,11 @@ class _MSDSACore(nn.Module):
         if x_is_s2d:
             cin = x.shape[-1] // 8
             # padded-chain patches arrive with the (+1, +1) zero depth pad
-            # already in the gather (engine-side); inferred from the shape
-            # against img_size so the predictor API stays unchanged
-            x_pad_in = x.shape[1] == img[0] // 2 + 2
+            # already in the gather (engine-side); callers that know pass
+            # x_padded explicitly, otherwise inferred from the shape
+            # against img_size (predictor API unchanged)
+            x_pad_in = (bool(x_padded) if x_padded is not None
+                        else x.shape[1] == img[0] // 2 + 2)
             d_eff = x.shape[1] - (2 if x_pad_in else 0)
             full = (2 * d_eff, 2 * x.shape[2], 2 * x.shape[3])
         else:

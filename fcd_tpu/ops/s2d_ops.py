@@ -417,7 +417,7 @@ def conv8_a2o_stats(xs_tuple, w_tuple, out_dtype=jnp.bfloat16,
     full-tensor reduction passes never run in XLA (~2 ms/step at batch
     4x128^3). Pad slots are exact zeros, so the sums are exact.
     Returns (y, s1, s2) with s1/s2 f32 (B, 8*cout)."""
-    return _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype)
+    return _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype, pre_padded)
 
 
 def _conv8_a2o_stats_impl(xs_tuple, w_tuple, out_dtype, pre_padded=None):
@@ -1037,7 +1037,11 @@ def _fused_resblock_eval8(parts, w1, w2, wres, oc: int, slope: float,
         # 0.712 on v5e) — the consumer a2o/pool kernels read it directly
         out = jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     if emit_pool:
-        pooled = _pool_max(out[:, 1:-1] if emit_pad else out, oc)
+        # route through the padded-interior Pallas pool (one pass, no
+        # standalone interior-slice materialization) when the input
+        # carries the pad; _pool_max itself dispatches to pool_fwd_pallas
+        # when supported, so both branches take the kernel path on TPU
+        pooled = _pool_pad_impl(out, oc) if emit_pad else _pool_max(out, oc)
         return out, pooled
     return out
 

@@ -540,6 +540,33 @@ def test_pool_exit_pad_parity():
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
 
 
+def test_conv8_a2o_stats_prepadded_primal():
+    """Forward-only (no value_and_grad) call of the conv8_a2o_stats
+    custom_vjp with a pre-padded part matches the unpadded call: the
+    PRIMAL must honor pre_padded exactly like the fwd rule (regression
+    for the primal dropping the flag — wrong output depth D+3 vs D+1
+    on any non-differentiated call, e.g. validation loss without grad)."""
+    from fcd_tpu.ops.s2d_ops import conv8_a2o_stats
+
+    rng = np.random.RandomState(7)
+    c = 16
+    x = jnp.asarray(rng.rand(1, 6, 8, 8, 8 * c).astype(np.float32) - 0.5)
+    w = jnp.asarray(rng.rand(3, 3, 3, c, c).astype(np.float32) * 0.4 - 0.2)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+    ref_y, ref_s1, ref_s2 = conv8_a2o_stats(
+        (x.astype(jnp.bfloat16),), (w,))
+    y, s1, s2 = conv8_a2o_stats(
+        (xp.astype(jnp.bfloat16),), (w,), jnp.bfloat16, (True,))
+    assert y.shape == ref_y.shape, (y.shape, ref_y.shape)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref_s1),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(ref_s2),
+                               rtol=0, atol=0)
+
+
 def test_conv8_prologue_grad_parity(monkeypatch):
     """conv8_o2a_act_stats (norm1+act fused into conv2's prologue, custom
     VJP) matches the composed instance_norm_act_offset + conv8_o2a_stats
