@@ -79,6 +79,68 @@ def baseline_util() -> float:
         return A100_FALLBACK_UTIL
 
 
+def train_metrics(batch: int = 4, n: int = 8) -> dict:
+    """Time the jitted training step at the reference config (the
+    reference's other hot loop, train.py:365-392): MS_DSA_NET fs16,
+    batch 4 x 128^3 patches, bf16, DiceCE, AdamW — pipelined (one-step-
+    lagged loss fetch, the production trainer-loop protocol). Returns
+    {"train_step_ms", "train_patches_per_s", "train_mfu"}; {} on error
+    so the inference headline never dies on a train-side failure."""
+    import jax.random
+
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.losses.combined import make_combined_loss, s2d_loss_supported
+    from fcd_tpu.models.factory import get_model, init_model
+    from fcd_tpu.ops.blocks import _s2d_block_eligible
+    from fcd_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from fcd_tpu.utils.profiling import device_peak_flops
+
+    params = get_default_params()
+    params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True,
+                  loss="DiceCELoss")
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    state = create_train_state(model, variables, params)
+    tx = make_optimizer(params)
+    use_s2d = (jax.default_backend() == "tpu"
+               and getattr(model, "supports_s2d_input", False)
+               and s2d_loss_supported(params))
+    use_s2d_in = use_s2d and _s2d_block_eligible(
+        (128, 128, 128), 2, params["feature_size"], 3, 1,
+        model.norm_name, model.act_name, model.dtype)
+    loss_fn = make_combined_loss(params, s2d=use_s2d)
+    step = make_train_step(model, loss_fn, tx, donate=True,
+                           s2d_loss=use_s2d, s2d_input=use_s2d_in)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 128, 128, 128, 2), jnp.float32)
+    y = jnp.asarray((rng.rand(batch, 128, 128, 128, 1) > 0.95), jnp.float32)
+    state, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(0))
+    float(loss)  # compile + settle
+
+    t0 = time.perf_counter()
+    pending = None
+    for i in range(n):
+        state, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(i))
+        if pending is not None:
+            float(pending)
+        pending = loss
+    float(pending)
+    dt = (time.perf_counter() - t0) / n
+    # MFU on LOGICAL model FLOPs (fwd + 2x bwd), not the blocked kernels'
+    # 2.37x redundancy — same convention as the inference MFU below
+    step_flops = 3.0 * FLOPS_PER_PATCH_BS1 * batch
+    return {
+        "train_step_ms": round(dt * 1000, 1),
+        "train_patches_per_s": round(batch / dt, 2),
+        "train_mfu": round(step_flops / dt / device_peak_flops(), 4),
+    }
+
+
 def main() -> None:
     from fcd_tpu.utils.cache import enable_compilation_cache
 
@@ -228,6 +290,13 @@ def main() -> None:
         275e12 if "v6" in kind else 459e12 if "v5p" in kind else 197e12)
     mfu = (flops_per_volume * vol_per_s) / tpu_peak if flops_per_volume else 0.0
 
+    # the reference's OTHER hot loop: the training step (train.py:365-392)
+    # — measured here so the driver artifact carries both (VERDICT r4 #3)
+    try:
+        train = train_metrics()
+    except Exception as e:
+        train = {"train_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(
         json.dumps(
             {
@@ -238,6 +307,7 @@ def main() -> None:
                 "mfu": round(mfu, 4),
                 "flops_per_volume": flops_per_volume,
                 "synced_loop_vol_per_s": round(synced_vol_per_s, 4),
+                **train,
             }
         )
     )

@@ -401,12 +401,15 @@ def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pixel_shuffle_3d(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Rearrange (B, D, H, W, C*r^3) -> (B, D*r, H*r, W*r, C)."""
+    """Rearrange (B, D, H, W, C*r^3) -> (B, D*r, H*r, W*r, C) with MONAI's
+    channel grouping (monai.networks.utils.pixelshuffle): channel index
+    c = oc*r^3 + rd*r^2 + rh*r + rw, so transplanted reference weights
+    land on the same output voxels."""
     b, d, h, w, c = x.shape
     r = factor
     oc = c // (r ** 3)
-    x = x.reshape(b, d, h, w, r, r, r, oc)
-    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    x = x.reshape(b, d, h, w, oc, r, r, r)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
     return x.reshape(b, d * r, h * r, w * r, oc)
 
 
@@ -428,7 +431,10 @@ class UpSample(nn.Module):
     via params['segresnet_upsample_mode'] (reference: get_model.py:160,201).
 
     - 'deconv': ConvTranspose(k=scale, s=scale)
-    - 'pixelshuffle': 3x3 conv to C_out * scale^3 then pixel shuffle
+    - 'pixelshuffle': 3x3 conv to C_out * scale^3, pixel shuffle, then the
+      MONAI SubpixelUpsample default apply_pad_pool blur (zero-pad LEFT
+      by scale-1 per spatial dim + avg-pool window=scale stride=1 — the
+      checkerboard-suppression pass the reference nets run)
     - 'nontrainable': trilinear interpolation (+1x1 conv if channels change)
     """
 
@@ -436,6 +442,7 @@ class UpSample(nn.Module):
     scale: int = 2
     mode: str = "pixelshuffle"
     use_bias: bool = True
+    apply_pad_pool: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -450,7 +457,13 @@ class UpSample(nn.Module):
                 self.features * self.scale ** 3, kernel_size=3, stride=1,
                 use_bias=self.use_bias, dtype=self.dtype,
             )(x)
-            return pixel_shuffle_3d(y, self.scale)
+            y = pixel_shuffle_3d(y, self.scale)
+            if self.apply_pad_pool and self.scale > 1:
+                r = self.scale
+                y = jnp.pad(y, ((0, 0),) + ((r - 1, 0),) * 3 + ((0, 0),))
+                y = nn.avg_pool(y, window_shape=(r, r, r),
+                                strides=(1, 1, 1))
+            return y
         if self.mode == "nontrainable":
             y = interpolate_trilinear(x, self.scale)
             if y.shape[-1] != self.features:
