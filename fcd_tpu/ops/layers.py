@@ -297,7 +297,11 @@ class Conv3d(nn.Module):
         if use_fast:
             out = blocked_conv3x3(x.astype(dtype), kernel.astype(dtype), dtype)
         else:
-            pad = tuple(((kk - 1) // 2, (kk - 1) // 2) for kk in k)
+            # MONAI dynunet get_padding convention: int((k - s + 1) / 2)
+            # per axis — identical to torch's (k-1)//2 for every odd-k
+            # stride<=2 case the nets use, and 0 (not 1) for the UNETR++
+            # k4/s4 stem (reference model_components.py:21)
+            pad = tuple((int((kk - ss + 1) / 2),) * 2 for kk, ss in zip(k, s))
             out = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype), s, pad,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
