@@ -116,16 +116,25 @@ def train_metrics(batch: int = 4, n: int = 8) -> dict:
     step = make_train_step(model, loss_fn, tx, donate=True,
                            s2d_loss=use_s2d, s2d_input=use_s2d_in)
 
+    from fcd_tpu import flags as _fcd_flags
+
+    def key(i):
+        # the trainer's production key chain (FCD_RBG_DROPOUT)
+        if (_fcd_flags.on("FCD_RBG_DROPOUT")
+                and jax.default_backend() == "tpu"):
+            return jax.random.key(i, impl="rbg")
+        return jax.random.PRNGKey(i)
+
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 128, 128, 128, 2), jnp.float32)
     y = jnp.asarray((rng.rand(batch, 128, 128, 128, 1) > 0.95), jnp.float32)
-    state, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(0))
+    state, loss = step(state, x, y, 1e-4, key(0))
     float(loss)  # compile + settle
 
     t0 = time.perf_counter()
     pending = None
     for i in range(n):
-        state, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(i))
+        state, loss = step(state, x, y, 1e-4, key(i))
         if pending is not None:
             float(pending)
         pending = loss

@@ -181,6 +181,13 @@ FLAGS: Dict[str, Flag] = {
         "4", "Streamed-eval in-flight window (volumes dispatched ahead "
         "of their metric fetch).", values="int>=1",
         tested="test_trainer_e2e (streamed eval)"),
+    "FCD_RBG_DROPOUT": Flag(
+        "1", "Per-step dropout keys use the TPU hardware RBG PRNG instead "
+        "of threefry: the level-3 spatial-attention dropout's counter-"
+        "based bit-generation fusions (~3 ms/step at batch 4x128^3) "
+        "become hardware RNG ops. Same Bernoulli distribution, different "
+        "random stream. A/B'd 141.4 -> 138.6 ms pipelined.",
+        tested="test_train_engine (threefry path is the CPU-test default)"),
 
     # ---- infra -------------------------------------------------------------
     "FCD_TPU_COMPILE_CACHE": Flag(

@@ -209,6 +209,12 @@ def _label_s2d_jit(label):
     return _label_s2d(label)
 
 
+# NOTE (round-5 measured dead end): forcing the standard major-to-minor
+# output layout on this program via jax.experimental.layout Format
+# (to remove the consumer step's 0.85 ms relayout copy, copy.5308) makes
+# jax treat the committed-Format array as layout-incompatible with the
+# step's compiled signature and RELAYOUT THROUGH THE HOST on the relay
+# backend (~13 s/step). The in-step device copy is the cheap form.
 @functools.partial(jax.jit, static_argnums=(1,))
 def _image_s2d_jit(image, dtype):
     """(B, D, H, W, C) image -> compute-dtype (B, D/2, H/2, W/2, 8C) s2d,

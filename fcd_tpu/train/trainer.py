@@ -71,7 +71,15 @@ class ModelTrainer:
                 jax.config.update("jax_default_matmul_precision", "highest")
             except Exception:
                 pass
-        self.rng = jax.random.PRNGKey(params.get("seed", 42))
+        # FCD_RBG_DROPOUT (default on, TPU only): hardware RBG PRNG for the
+        # training rng chain — the attention-dropout threefry bit-gen
+        # fusions (~3 ms/step at batch 4x128^3) become hardware RNG ops.
+        # Same Bernoulli distribution, different random stream.
+        if (_fcd_flags.on("FCD_RBG_DROPOUT")
+                and jax.default_backend() == "tpu"):
+            self.rng = jax.random.key(params.get("seed", 42), impl="rbg")
+        else:
+            self.rng = jax.random.PRNGKey(params.get("seed", 42))
 
         self.model, self.params = get_model(params)
         variables = init_model(self.model, self.params, seed=params.get("seed", 42))
