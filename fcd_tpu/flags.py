@@ -161,6 +161,13 @@ FLAGS: Dict[str, Flag] = {
         "", "Force the SW jit output to the standard major-to-minor "
         "layout ('std'); default lets XLA choose. Measured neutral.",
         values="''|std", status="dead-end", tested="test_flags_matrix"),
+    "FCD_ENTRY_SLICE": Flag(
+        "1", "Volume-entry space_to_depth as W-pair lane packing (pure "
+        "reshape) + stride-2 D/H slices + one lane concat, instead of the "
+        "stride-2 one-hot conv. Bit-identical; 6.4 vs 86.6 ms standalone "
+        "at the bench volume (the conv form's layout assignment is "
+        "hostile at c=2 without a consumer constraint).",
+        tested="test_s2d_entry / test_s2d_blocks (bit parity both forms)"),
     "FCD_ENTRY_KERNEL": Flag(
         "0", "Pallas lane-permutation-GEMM volume entry. Mosaic rejects "
         "the lanes->sublane cast; 29.3 vs 5.2 ms/volume.",

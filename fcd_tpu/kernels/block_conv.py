@@ -109,12 +109,24 @@ def _d2s_conv_weights(c: int):
 
 
 def space_to_depth_fast(x: jnp.ndarray) -> jnp.ndarray:
-    """space_to_depth as a stride-2 one-hot conv (precision HIGHEST, exact).
+    """Volume-level space_to_depth, bit-identical to space_to_depth.
 
-    XLA's conv path lays this out ~3x faster than the reshape+transpose
-    form on full volumes (11.8 -> 3.9 ms at 182x218x182x2 f32 on v5e) —
-    use for volume-level transforms; the reshape form is fine for small
-    tensors."""
+    Default form (FCD_ENTRY_SLICE=1): W-pairs packed into lanes by a pure
+    reshape (W and C are memory-adjacent), stride-2 D/H slices, one lane
+    concat — lane order (gz, gy, gx, ch) = g*c + ch exactly. Measured
+    6.4 ms vs the one-hot conv's 86.6 ms standalone at the bench volume
+    (182x218x182x2; the conv's NDHWC layout assignment is hostile at c=2
+    when no consumer constrains it). FCD_ENTRY_SLICE=0 restores the
+    stride-2 one-hot conv form (round-1 winner over reshape+transpose:
+    11.8 -> 3.9 ms in the SW context of the time)."""
+    from fcd_tpu import flags as _fcd_flags
+
+    if _fcd_flags.get("FCD_ENTRY_SLICE") != "0" and x.shape[3] % 2 == 0:
+        b, d, h, w, c = x.shape
+        xp = x.reshape(b, d, h, w // 2, 2 * c)
+        parts = [xp[:, 0::2, 0::2], xp[:, 0::2, 1::2],
+                 xp[:, 1::2, 0::2], xp[:, 1::2, 1::2]]
+        return jnp.concatenate(parts, axis=-1)
     c = x.shape[-1]
     w = _s2d_conv_weights(int(c)).astype(x.dtype)
     return jax.lax.conv_general_dilated(

@@ -41,3 +41,22 @@ def test_entry_batched_fold():
     out = out.reshape(3, 2, 3, 3, 16)
     assert np.array_equal(np.asarray(ref, np.float32),
                           np.asarray(out, np.float32))
+
+
+def test_entry_slice_form_bit_parity(monkeypatch):
+    """FCD_ENTRY_SLICE (W-pair lane packing + stride-2 slices + lane
+    concat) is bit-identical to the one-hot-conv form and the reference
+    reshape form across shapes/channel counts."""
+    from fcd_tpu.kernels.block_conv import space_to_depth_fast
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 12, 10, 14, 2), (4, 8, 8, 8, 2),
+                  (2, 6, 6, 6, 1), (1, 4, 6, 8, 4)]:
+        x = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        ref = np.asarray(space_to_depth(x))
+        monkeypatch.setenv("FCD_ENTRY_SLICE", "1")
+        a = np.asarray(space_to_depth_fast(x))
+        monkeypatch.setenv("FCD_ENTRY_SLICE", "0")
+        b = np.asarray(space_to_depth_fast(x))
+        assert np.array_equal(a, ref), shape
+        assert np.array_equal(b, ref), shape
