@@ -743,8 +743,16 @@ def _upsample_s2d_bwd(cin, res, dy):
     # regroup the cotangent in ITS dtype (a pure permutation — f32-casting
     # first doubled the d2s copy bytes, ~2 GB/step at batch 4x128^3) and
     # let the dots accumulate in f32; ys/dy are bf16-valued either way so
-    # the products are identical, only the dwm sum reassociates
-    dz = space_to_depth(dy)                  # (B, d4, h4, w4, 8*(8*cout))
+    # the products are identical, only the dwm sum reassociates.
+    # Slice+lane-concat form (bit-identical to space_to_depth): the 8-D
+    # transpose form lowered as T(2,128) copies (~3 ms/step cluster at
+    # batch 4x128^3; 79.8 vs 7.8 ms standalone at the level-1 shape)
+    b_, df, hf, wf, cf = dy.shape
+    dyp = dy.reshape(b_, df, hf, wf // 2, 2 * cf)
+    dz = jnp.concatenate(
+        [dyp[:, 0::2, 0::2], dyp[:, 0::2, 1::2],
+         dyp[:, 1::2, 0::2], dyp[:, 1::2, 1::2]],
+        axis=-1)                             # (B, d4, h4, w4, 8*(8*cout))
     d_ys = conv1x1_s2d(dz, wm.T.astype(dz.dtype)).astype(ys.dtype)
     ysf = ys.reshape(-1, 8, cin)
     dzf = dz.reshape(-1, 8, 8 * cout)
@@ -810,7 +818,15 @@ def _upsample_pad_bwd(cin, res, dyp):
     cout = w.shape[4]
     wm = _upsample_wm(w, cin)
     dy = dyp[:, 1:-1]
-    dz = space_to_depth(dy)                  # (B, d4, h4, w4, 8*(8*cout))
+    # slice+lane-concat regroup (bit-identical to space_to_depth): the
+    # 8-D transpose form lowered as a ~3 ms/step T(2,128) copy cluster
+    # at batch 4x128^3 (profile_train_step fusion.4420/reshape.1533)
+    b_, df, hf, wf, cf = dy.shape
+    dyp2 = dy.reshape(b_, df, hf, wf // 2, 2 * cf)
+    dz = jnp.concatenate(
+        [dyp2[:, 0::2, 0::2], dyp2[:, 0::2, 1::2],
+         dyp2[:, 1::2, 0::2], dyp2[:, 1::2, 1::2]],
+        axis=-1)                             # (B, d4, h4, w4, 8*(8*cout))
     d_ys = conv1x1_s2d(dz, wm.T.astype(dz.dtype)).astype(ysp.dtype)
     d_ysp = jnp.pad(d_ys, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     ysf = ysp[:, 1:-1].reshape(-1, 8, cin)
