@@ -757,9 +757,21 @@ def sliding_window_inference_bucketed(
     bucket_multiple: int = 32,
     slot_multiple: int = 8,
     flat_output: bool = False,
+    engine: str = "dynamic",
 ) -> jnp.ndarray:
     """sliding_window_inference with a BOUNDED compile count over
     heterogeneous volume shapes.
+
+    engine='dynamic' (default): the dynamic-grid program — compile key =
+    (bucket shape, rounded slot count) only, the strongest compile bound.
+    engine='static': the static pad-tree program on the bucket-padded
+    volume with the ORIGINAL grid's starts baked in as constants — exact
+    same math and patch set as the exact engine at the static engine's
+    throughput (the dynamic program runs at ~81-93% of it, BENCH_NOTES);
+    compile key = (bucket shape, starts tuple), i.e. one compile per
+    distinct GRID shape, like the exact engine — use it when the shape
+    set is closed (bucketed datasets after resampling) or warmup budget
+    allows.
 
     The volume is zero-padded (after the engine's usual symmetric >=roi
     pad) at the END of each axis to a multiple of `bucket_multiple`, but
@@ -800,8 +812,6 @@ def sliding_window_inference_bucketed(
     if vol_pre_s2d:
         padded = _entry_s2d(padded, compute_dtype=compute_dtype)
 
-    starts_dev, valid_dev = _bucket_grid(
-        grid_shape, roi_size, overlap, sw_batch, slot_multiple)
     exit_form = "mm"
     if (flat_output and s2d_logits and not any(pad)
             and _fcd_flags.get("FCD_SW_FLAT_EXIT") != "0"):
@@ -818,23 +828,47 @@ def sliding_window_inference_bucketed(
         inv_cnt = _bucket_inv_coverage(
             grid_shape, bucket, roi_size, overlap, blend, sigma_scale,
             s2d_logits)
-    out = _sliding_window_jit(
-        padded,
-        starts_dev,
-        valid_dev,
-        inv_cnt,
-        predictor=predictor,
-        roi_size=roi_size,
-        sw_batch=sw_batch,
-        out_channels=out_channels,
-        blend=blend,
-        sigma_scale=sigma_scale,
-        compute_dtype=compute_dtype,
-        patch_s2d=patch_s2d,
-        s2d_logits=s2d_logits,
-        exit_form=exit_form,
-        vol_pre_s2d=vol_pre_s2d,
-    )
+
+    if engine == "static":
+        starts_t, valid_t = _host_grid(grid_shape, roi_size, overlap,
+                                       sw_batch)
+        out = _sliding_window_jit_static(
+            padded,
+            inv_cnt,
+            predictor=predictor,
+            starts_t=starts_t,
+            valid_t=valid_t,
+            roi_size=roi_size,
+            sw_batch=sw_batch,
+            out_channels=out_channels,
+            blend=blend,
+            sigma_scale=sigma_scale,
+            compute_dtype=compute_dtype,
+            patch_s2d=patch_s2d,
+            s2d_logits=s2d_logits,
+            exit_form=exit_form,
+            vol_pre_s2d=vol_pre_s2d,
+        )
+    else:
+        starts_dev, valid_dev = _bucket_grid(
+            grid_shape, roi_size, overlap, sw_batch, slot_multiple)
+        out = _sliding_window_jit(
+            padded,
+            starts_dev,
+            valid_dev,
+            inv_cnt,
+            predictor=predictor,
+            roi_size=roi_size,
+            sw_batch=sw_batch,
+            out_channels=out_channels,
+            blend=blend,
+            sigma_scale=sigma_scale,
+            compute_dtype=compute_dtype,
+            patch_s2d=patch_s2d,
+            s2d_logits=s2d_logits,
+            exit_form=exit_form,
+            vol_pre_s2d=vol_pre_s2d,
+        )
     if exit_form == "pallas":
         return out                       # (Db, Hb, Wb*O) flat bucket volume
     sl = tuple(slice(p // 2, p // 2 + s) for p, s in zip(pad, (d, h, w)))

@@ -32,6 +32,17 @@ from fcd_tpu.kernels.block_conv import (
 
 
 def to_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Model-path space_to_depth. Slice+lane-concat form by default
+    (bit-identical; see kernels.block_conv.space_to_depth_fast — the 8-D
+    transpose form lowers as T(2,128) copies on feature-map-sized
+    tensors, e.g. the eval enc2 entry's 1.05 ms/volume copy.651)."""
+    if _fcd_flags.get("FCD_ENTRY_SLICE") != "0" and x.shape[3] % 2 == 0:
+        b, d, h, w, c = x.shape
+        xp = x.reshape(b, d, h, w // 2, 2 * c)
+        return jnp.concatenate(
+            [xp[:, 0::2, 0::2], xp[:, 0::2, 1::2],
+             xp[:, 1::2, 0::2], xp[:, 1::2, 1::2]],
+            axis=-1)
     return space_to_depth(x)
 
 

@@ -11,8 +11,18 @@ one final sync, median of 3 reps — bench.py's methodology):
                  through the bucketed engine — the heterogeneous-dataset
                  scenario the trainer's sw_bucket='auto' policy routes
                  here (trainer.py), one compile per bucket
+  static@fixed / static@mixed
+                 the engine='static' bucketed mode (VERDICT r4 #6):
+                 bucket-padded tensors, ORIGINAL grid as static starts —
+                 exact-engine math at static-engine speed, one compile
+                 per distinct grid shape
 
-Usage: bench_bucketed.py [n_stream]
+The drift check runs with CALIBRATED weights (a short synthetic training
+run, default 30 steps) — untrained instance-norm chains maximally
+amplify cross-program bf16 ulps and overstate the drift (VERDICT r4
+weak #5).
+
+Usage: bench_bucketed.py [n_stream] [calib_steps]
 """
 
 import json
@@ -52,10 +62,48 @@ def main():
     from fcd_tpu.models.factory import get_model, init_model
     from fcd_tpu.train.state import make_eval_fn
 
+    calib_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
     params = get_default_params()
     params.update(patch_size=128, chans_in=2, chans_out=2, use_amp=True)
     model, params = get_model(params)
     variables = init_model(model, params, seed=0)
+
+    if calib_steps > 0:
+        # calibrate the weights with a short synthetic training run so the
+        # drift check below reflects trained-scale instance norms
+        from fcd_tpu.losses.combined import (
+            make_combined_loss,
+            s2d_loss_supported,
+        )
+        from fcd_tpu.ops.blocks import _s2d_block_eligible
+        from fcd_tpu.train.state import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        t0 = time.time()
+        state = create_train_state(model, variables, params)
+        use_s2d_l = s2d_loss_supported(params)
+        use_s2d_in = use_s2d_l and _s2d_block_eligible(
+            (128, 128, 128), 2, params["feature_size"], 3, 1,
+            model.norm_name, model.act_name, model.dtype)
+        step = make_train_step(
+            model, make_combined_loss(params, s2d=use_s2d_l),
+            make_optimizer(params), donate=False, s2d_loss=use_s2d_l,
+            s2d_input=use_s2d_in)
+        crng = np.random.RandomState(1)
+        xc = jnp.asarray(crng.rand(2, 128, 128, 128, 2), jnp.float32)
+        yc = jnp.asarray((crng.rand(2, 128, 128, 128, 1) > 0.95),
+                         jnp.float32)
+        loss = None
+        for i in range(calib_steps):
+            state, loss = step(state, xc, yc, 1e-3, jax.random.PRNGKey(i))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        print(f"calibrated {calib_steps} steps in {time.time()-t0:.0f}s, "
+              f"final loss {float(loss):.3f}", flush=True)
     use_s2d = (getattr(model, "supports_s2d_input", False)
                and jax.default_backend() == "tpu"
                and all(patch_s2d_compatible(s, (128,) * 3, 0.25)
@@ -78,13 +126,16 @@ def main():
             compute_dtype=jnp.bfloat16, patch_s2d=use_s2d,
             s2d_logits=use_s2d, flat_output=True)
 
-    def run_bucket(vol):
+    def run_bucket(vol, engine="dynamic"):
         return sliding_window_inference_bucketed(
             vol, predictor, roi_size=(128,) * 3,
             out_channels=2, sw_batch=params["sw_batch_size"],
             overlap=0.25, blend=params["sw_blend"],
             compute_dtype=jnp.bfloat16, patch_s2d=use_s2d,
-            s2d_logits=use_s2d, flat_output=True)
+            s2d_logits=use_s2d, flat_output=True, engine=engine)
+
+    def run_static(vol):
+        return run_bucket(vol, engine="static")
 
     def sync(x):
         np.asarray(x[(0,) * x.ndim])
@@ -139,11 +190,20 @@ def main():
           f"({r_bmix / r_exact * 100:.0f}% of exact@fixed; mixed volumes "
           f"average {np.mean([np.prod(s) for s in SHAPES_MIXED]) / np.prod((182, 218, 182)) * 100:.0f}% "
           "of the fixed voxel count)", flush=True)
+    r_sfix = stream(run_static, fixed)
+    print(f"static@fixed  : {r_sfix:.3f} vol/s "
+          f"({r_sfix / r_exact * 100:.0f}% of exact)", flush=True)
+    r_smix = stream(run_static, mixed)
+    print(f"static@mixed  : {r_smix:.3f} vol/s "
+          f"({r_smix / r_exact * 100:.0f}% of exact@fixed)", flush=True)
     print(json.dumps({
         "exact_fixed_vol_per_s": round(r_exact, 3),
         "bucket_fixed_vol_per_s": round(r_bfix, 3),
         "bucket_mixed_vol_per_s": round(r_bmix, 3),
+        "static_fixed_vol_per_s": round(r_sfix, 3),
+        "static_mixed_vol_per_s": round(r_smix, 3),
         "bucket_vs_exact_max_abs_diff": err,
+        "calib_steps": calib_steps,
     }), flush=True)
 
 

@@ -1,0 +1,223 @@
+"""Hardware gate-matrix smoke: every LIVE flag in fcd_tpu/flags.py swept
+at batch 1 AND batch 4 on the real TPU, through the MODEL (not just the
+kernels): compile + run + closeness vs the default setting.
+
+This is the only net that catches the interpret-vs-Mosaic lowering class
+of bug (e.g. affine BlockSpecs that interpret mode accepts and real-TPU
+lowering rejects at batch > 1 — commit de46f56): the CPU test tier runs
+every kernel in interpret mode, and the benches run batch-1 eval shapes
+only.
+
+Coverage per gate (non-default value):
+- eval gates: jitted MS_DSA_NET forward (s2d patches, s2d logits) at
+  batch 1 and 4, patch 64^3 (same kernel code paths as 128^3, bounded
+  compile time) — output must be finite and within rtol of the default.
+- SW gates: a small sliding-window volume through the static engine.
+- train gates: one jitted train step (fwd+bwd+AdamW) at batch 1 and 4 —
+  loss finite and within rtol of the default loss.
+
+Gates whose two settings are bit-identical by construction still use the
+loose tolerance: the point here is lowering/compile coverage, not the
+numerics ladder (the CPU tier owns exact parity).
+
+Usage: python scripts/smoke_gate_matrix.py   (exits nonzero on failure)
+"""
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcd_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+PATCH = 64
+RTOL = 2e-2          # bf16 fusion-order differences across formulations
+FAILURES = []
+
+EVAL_GATES = [
+    ("FCD_A2O_PAD", "pad"),
+    ("FCD_CONV8", "0"),
+    ("FCD_CONV8_KD", "0"),
+    ("FCD_CONV8_VPAIR", "0"),
+    ("FCD_FUSED_BLOCK", "0"),
+    ("FCD_FUSED_DSA", "0"),
+    ("FCD_PAD_CHAIN", "0"),
+    ("FCD_FINALE_POOL", "0"),
+    ("FCD_POOL_FWD_KERNEL", "0"),
+    ("FCD_S2D_CONV", "aligned"),
+    ("FCD_S2D", "0"),
+]
+SW_GATES = [
+    ("FCD_SW_STATIC", "0"),
+    ("FCD_SW_EXIT", "reshape"),
+    ("FCD_SW_FLAT_EXIT", "0"),
+    ("FCD_ENTRY_SLICE", "0"),
+]
+TRAIN_GATES = [
+    ("FCD_CONV8_TRAIN", "0"),
+    ("FCD_CONV8_STATS", "0"),
+    ("FCD_CONV8_PROLOGUE", "0"),
+    ("FCD_DSA_V2", "0"),
+    ("FCD_POOL_BWD_KERNEL", "0"),
+    ("FCD_IMAGE_PREJIT", "0"),
+    ("FCD_LABEL_PREJIT", "0"),
+    ("FCD_RBG_DROPOUT", "0"),
+]
+# FCD_FAST_CONV=1 routes the model-zoo XLA convs through the blocked
+# kernel; exercised separately below on a plain conv (the MS_DSA fast
+# path never takes it). FCD_EVAL_QUEUE is host-protocol only.
+
+
+def _build(batch):
+    from fcd_tpu.config import get_default_params
+    from fcd_tpu.models.factory import get_model, init_model
+
+    params = get_default_params()
+    params.update(patch_size=PATCH, chans_in=2, chans_out=2, use_amp=True)
+    model, params = get_model(params)
+    variables = init_model(model, params, seed=0)
+    return model, variables, params
+
+
+def run_eval(batch, model, variables):
+    from fcd_tpu.train.state import make_eval_fn
+
+    predict = make_eval_fn(model, x_is_s2d=True, s2d_logits=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.rand(batch, PATCH // 2, PATCH // 2, PATCH // 2, 16)
+        .astype(np.float32), jnp.bfloat16)
+    out = predict(variables, x)
+    return np.asarray(out, np.float32)
+
+
+def run_train(batch, model, params):
+    from fcd_tpu.losses.combined import make_combined_loss, s2d_loss_supported
+    from fcd_tpu.models.factory import init_model
+    from fcd_tpu.ops.blocks import _s2d_block_eligible
+    from fcd_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    variables = init_model(model, params, seed=0)
+    state = create_train_state(model, variables, params)
+    use_s2d = s2d_loss_supported(params)
+    use_s2d_in = use_s2d and _s2d_block_eligible(
+        (PATCH,) * 3, 2, params["feature_size"], 3, 1,
+        model.norm_name, model.act_name, model.dtype)
+    step = make_train_step(model, make_combined_loss(params, s2d=use_s2d),
+                           make_optimizer(params), donate=False,
+                           s2d_loss=use_s2d, s2d_input=use_s2d_in)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, PATCH, PATCH, PATCH, 2), jnp.float32)
+    y = jnp.asarray((rng.rand(batch, PATCH, PATCH, PATCH, 1) > 0.95),
+                    jnp.float32)
+    _, loss = step(state, x, y, 1e-4, jax.random.PRNGKey(0))
+    return float(loss)
+
+
+def run_sw(model, variables, params):
+    from fcd_tpu.infer.sliding_window import sliding_window_inference
+    from fcd_tpu.train.state import make_eval_fn
+
+    predict = make_eval_fn(model, x_is_s2d=True, s2d_logits=True)
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(
+        rng.rand(PATCH + 16, PATCH + 24, PATCH + 16, 2).astype(np.float32))
+    out = sliding_window_inference(
+        vol, lambda p: predict(variables, p), roi_size=(PATCH,) * 3,
+        out_channels=2, sw_batch=1, overlap=0.25, blend="constant",
+        compute_dtype=jnp.bfloat16, patch_s2d=True, s2d_logits=True)
+    return np.asarray(out, np.float32).reshape(-1)
+
+
+def sweep(tag, gates, runner, ref_by_key):
+    for gate, value in gates:
+        for key in sorted(ref_by_key):
+            name = f"{tag} {gate}={value} [{key}]"
+            os.environ[gate] = value
+            try:
+                got = runner(key)
+                ref = ref_by_key[key]
+                if np.isscalar(ref):
+                    ok = np.isfinite(got) and (
+                        abs(got - ref) <= RTOL * (abs(ref) + 1e-3))
+                    delta = abs(got - ref)
+                else:
+                    ok = np.isfinite(got).all()
+                    delta = float(np.max(np.abs(got - ref))
+                                  / (np.max(np.abs(ref)) + 1e-9))
+                    ok = ok and delta <= RTOL
+                if ok:
+                    print(f"ok   {name} (delta {delta:.2e})", flush=True)
+                else:
+                    FAILURES.append(name)
+                    print(f"FAIL {name} (delta {delta})", flush=True)
+            except Exception:
+                FAILURES.append(name)
+                print(f"FAIL {name}", flush=True)
+                traceback.print_exc(limit=3)
+            finally:
+                os.environ.pop(gate, None)
+
+
+def main():
+    model, variables, params = _build(1)
+
+    # defaults, batch 1 and 4
+    eval_ref = {b: run_eval(b, model, variables) for b in (1, 4)}
+    print("eval defaults done", flush=True)
+    sweep("eval", EVAL_GATES, lambda b: run_eval(b, model, variables),
+          eval_ref)
+
+    sw_ref = {1: run_sw(model, variables, params)}
+    print("sw default done", flush=True)
+    sweep("sw", SW_GATES, lambda b: run_sw(model, variables, params), sw_ref)
+
+    train_ref = {b: run_train(b, model, params) for b in (1, 4)}
+    print(f"train defaults done: {train_ref}", flush=True)
+    sweep("train", TRAIN_GATES, lambda b: run_train(b, model, params),
+          train_ref)
+
+    # FCD_FAST_CONV on a plain dense conv (model-zoo path)
+    def fast_conv():
+        from fcd_tpu.ops.layers import Conv3d
+
+        x = jnp.asarray(np.random.RandomState(0)
+                        .rand(4, 32, 32, 32, 16).astype(np.float32),
+                        jnp.bfloat16)
+        m = Conv3d(16, 3, 1, use_bias=False, dtype=jnp.bfloat16)
+        v = m.init(jax.random.PRNGKey(0), x)
+        return np.asarray(m.apply(v, x), np.float32)
+
+    ref = fast_conv()
+    os.environ["FCD_FAST_CONV"] = "1"
+    try:
+        got = fast_conv()
+        d = float(np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9))
+        print(("ok  " if d <= RTOL else "FAIL")
+              + f" FCD_FAST_CONV=1 (delta {d:.2e})", flush=True)
+        if d > RTOL:
+            FAILURES.append("FCD_FAST_CONV=1")
+    except Exception:
+        FAILURES.append("FCD_FAST_CONV=1")
+        traceback.print_exc(limit=3)
+    finally:
+        os.environ.pop("FCD_FAST_CONV", None)
+
+    print(f"\n{len(FAILURES)} failures"
+          + (f": {FAILURES}" if FAILURES else ""), flush=True)
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,6 +161,27 @@ def test_bucketed_matches_exact_and_bounds_compiles():
     assert n_compiles <= 2, f"{n_compiles} compilations for 4 shapes"
 
 
+def test_bucketed_static_engine_matches_exact():
+    """engine='static' (bucket-padded volume, ORIGINAL grid as static
+    starts): exact same math and patch set as the exact engine — outputs
+    match at the original voxels across mixed shapes."""
+    from fcd_tpu.infer.sliding_window import sliding_window_inference_bucketed
+
+    rng = np.random.RandomState(2)
+    for shape in [(20, 24, 22), (21, 23, 19)]:
+        vol = jnp.asarray(rng.rand(*shape, 2), jnp.float32)
+        got = sliding_window_inference_bucketed(
+            vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+            sw_batch=2, overlap=0.25, bucket_multiple=8, engine="static",
+        )
+        want = sliding_window_inference(
+            vol, _voxelwise_predictor, roi_size=(16, 16, 16), out_channels=2,
+            sw_batch=2, overlap=0.25,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_bucketed_small_volume_and_gaussian():
     """Bucketing composes with <roi volumes (symmetric pad) and gaussian
     blending."""
