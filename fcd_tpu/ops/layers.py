@@ -400,7 +400,19 @@ class ConvTranspose3d(nn.Module):
 # ---------------------------------------------------------------------------
 
 def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """torch.max_pool3d(x, 2, 2) on NDHWC."""
+    """torch.max_pool3d(x, 2, 2) on NDHWC.
+
+    TPU form: W-pairs are lane-adjacent, so packing them by a pure
+    reshape turns the W reduction into a lane-half max; D/H reduce by
+    stride-2 pair-max on major dims — three fusable elementwise passes
+    instead of XLA's reduce-window lowering (~150x the bandwidth floor
+    at the transformer-level shapes, profile_patch reduce_window_max)."""
+    if x.ndim == 5 and all(s % 2 == 0 for s in x.shape[1:4]):
+        b, d, h, w, c = x.shape
+        xp = x.reshape(b, d, h, w // 2, 2 * c)
+        m = jnp.maximum(xp[..., :c], xp[..., c:])
+        m = jnp.maximum(m[:, 0::2], m[:, 1::2])
+        return jnp.maximum(m[:, :, 0::2], m[:, :, 1::2])
     return nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
 
 
