@@ -136,6 +136,12 @@ FLAGS: Dict[str, Flag] = {
         "2x max pool into one Pallas pass (the pool's full re-read of the "
         "finale tensor never happens); off = separate finale fusion + "
         "pool kernel.", tested="test_s2d_blocks::test_finale_pool_parity"),
+    "FCD_FINALE_TRAIN": Flag(
+        "1", "Differentiable fused TRAIN finale (norm2 affine + residual "
+        "+ act + padded emission + pool): ONE Pallas pass per direction "
+        "with a custom VJP emitting d_ys/d_rs and the affine-grad sums; "
+        "off = composed XLA finale (~5 fusions per direction at level "
+        "1/2).", tested="test_finale_train (parity incl. grads)"),
     "FCD_POOL_FWD_KERNEL": Flag(
         "1", "Pallas rotation-tree max-pool forward (full-lane VPU "
         "reduction); off = lane-slice maximum.", tested="test_flags_matrix"),

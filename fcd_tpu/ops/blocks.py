@@ -274,6 +274,48 @@ class UnetResBlock(nn.Module):
                         y1o, oc, d2s * h2s * w2s * 8, slope, h2s, w2s,
                         stats=(a_s1, a_s2))
                     ys, o_s1, o_s2 = conv8_o2a_stats(y1o, w2k, w2s)
+
+                # fused finale (FCD_FINALE_TRAIN): norm2 affine + residual
+                # + act + padded emission + pool in ONE differentiable
+                # Pallas pass each way (s2d_ops.finale_s2d_train) — the
+                # composed finale's ~5 XLA full-tensor fusions per
+                # direction never run. Affines chain to the conv stats /
+                # residual sums through tiny XLA ops.
+                from fcd_tpu.ops.s2d_ops import (
+                    _finale_train_use_pallas,
+                    _inorm_affine_from_sums,
+                    finale_s2d_train,
+                )
+
+                need_res = cin_total != oc or len(parts) > 1
+                if (head is None
+                        and (need_res or not parts3[0][2])
+                        and _finale_train_use_pallas(h2s, w2s, oc)):
+                    n_vox = d2s * h2s * w2s * 8
+                    scale2, shift2 = _inorm_affine_from_sums(
+                        o_s1.astype(jnp.float32), o_s2.astype(jnp.float32),
+                        oc, n_vox)
+                    if need_res:
+                        rs_raw = Conv3d(oc, 1, 1, use_bias=self.use_bias,
+                                        dtype=self.dtype)(s2d_parts=parts)
+                        rf = rs_raw.astype(jnp.float32)
+                        scale_r, shift_r = _inorm_affine_from_sums(
+                            jnp.sum(rf, axis=(1, 2, 3)),
+                            jnp.sum(jnp.square(rf), axis=(1, 2, 3)),
+                            oc, n_vox)
+                    else:
+                        rs_raw = parts[0][0]
+                        scale_r = jnp.ones_like(scale2)
+                        shift_r = jnp.zeros_like(shift2)
+                    pad_out = emit_pad and emit_s2d
+                    pool_out = emit_pool and emit_s2d
+                    fin = finale_s2d_train(
+                        ys, rs_raw, scale2, shift2,
+                        scale_r, shift_r, oc, slope, pad_out, pool_out)
+                    if emit_s2d:
+                        return (fin[0], fin[1]) if pool_out else fin[0]
+                    return from_s2d(fin[0], oc)
+
                 ys = instance_norm_s2d(ys, oc, stats=(o_s1, o_s2))
             else:
                 y1o = conv8_a2o(tuple(xs_list), tuple(w_list),

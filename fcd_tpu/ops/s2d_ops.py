@@ -700,6 +700,115 @@ def instance_norm_act_offset(ys: jnp.ndarray, c: int, n_true: int,
     return jnp.where(keep[None], t, 0.0).astype(ys.dtype)
 
 
+def _finale_train_use_pallas(h2: int, w2: int, c: int) -> bool:
+    from fcd_tpu.kernels.finale import finale_train_supported
+
+    return (_fcd_flags.get("FCD_FINALE_TRAIN") != "0"
+            and finale_train_supported(h2, w2, c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def finale_s2d_train(ys, rs, scale2, shift2, scale_r, shift_r,
+                     c: int, slope: float, emit_pad: bool, emit_pool: bool):
+    """Differentiable fused resblock finale (train path):
+    out = leaky_relu(ys*scale2+shift2 + rs*scale_r+shift_r), emitted with
+    an optional (+1, +1) zero depth pad and an optional fused parity-lane
+    2x max pool — ONE Pallas pass each way instead of XLA's ~5 full-tensor
+    fusions per direction at the level-1/2 train shapes (FCD_FINALE_TRAIN;
+    kernels/finale.py has the math and the profile evidence).
+
+    ys: conv2's s2d output (B, d2, h2, w2, 8c); rs: the RAW (pre-norm)
+    residual; affines (B, 8c) — from _inorm_affine_from_sums, so their
+    cotangents chain to the producing sums in XLA (tiny ops). The affine
+    is applied in f32 and rounded ONCE (the composed path rounds each
+    normed operand before the add — same-ulp class as the other gated
+    formulation pairs, parity-tested with bf16 tolerances).
+    Returns (out,) or (out, pooled)."""
+    return _finale_train_impl(ys, rs, scale2, shift2, scale_r, shift_r,
+                              c, slope, emit_pad, emit_pool)
+
+
+def _finale_train_impl(ys, rs, scale2, shift2, scale_r, shift_r,
+                       c, slope, emit_pad, emit_pool):
+    out_dtype = jnp.promote_types(ys.dtype, rs.dtype)
+    if _finale_train_use_pallas(ys.shape[2], ys.shape[3], c):
+        from fcd_tpu.kernels.finale import finale_fwd_pallas
+
+        return finale_fwd_pallas(
+            ys, rs, scale2, shift2, scale_r, shift_r, c, slope,
+            emit_pad=emit_pad, emit_pool=emit_pool, out_dtype=out_dtype,
+            interpret=_interp())
+    bc = (slice(None), None, None, None, slice(None))
+    # same association order as the kernel: (ys*s2+sh2) + (rs*sr+shr)
+    t = ((ys.astype(jnp.float32) * scale2.astype(jnp.float32)[bc]
+          + shift2.astype(jnp.float32)[bc])
+         + (rs.astype(jnp.float32) * scale_r.astype(jnp.float32)[bc]
+            + shift_r.astype(jnp.float32)[bc]))
+    out = jnp.where(t >= 0, t, slope * t).astype(out_dtype)
+    res = (jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+           if emit_pad else out)
+    if emit_pool:
+        return res, _pool_max(out, c)
+    return (res,)
+
+
+def _finale_train_fwd(ys, rs, scale2, shift2, scale_r, shift_r,
+                      c, slope, emit_pad, emit_pool):
+    out = _finale_train_impl(ys, rs, scale2, shift2, scale_r, shift_r,
+                             c, slope, emit_pad, emit_pool)
+    return out, (ys, rs, scale2, shift2, scale_r, shift_r)
+
+
+def _finale_train_bwd(c, slope, emit_pad, emit_pool, resids, g):
+    ys, rs, scale2, shift2, scale_r, shift_r = resids
+    gp = g[0]
+    gq = g[1] if emit_pool else None
+    bc = (slice(None), None, None, None, slice(None))
+    out_dtype = jnp.promote_types(ys.dtype, rs.dtype)
+    if _finale_train_use_pallas(ys.shape[2], ys.shape[3], c):
+        from fcd_tpu.kernels.finale import finale_bwd_pallas
+
+        dtv, a1, a2, a3 = finale_bwd_pallas(
+            ys, rs, scale2, shift2, scale_r, shift_r, gp, gq, c, slope,
+            emit_pad=emit_pad, interpret=_interp())
+    else:
+        yf = ys.astype(jnp.float32)
+        rf = rs.astype(jnp.float32)
+        s2b = scale2.astype(jnp.float32)[bc]
+        srb = scale_r.astype(jnp.float32)[bc]
+        t = ((yf * s2b + shift2.astype(jnp.float32)[bc])
+             + (rf * srb + shift_r.astype(jnp.float32)[bc]))
+        gf = (gp[:, 1:-1] if emit_pad else gp).astype(jnp.float32)
+        if emit_pool:
+            fb = jnp.where(t >= 0, t, slope * t).astype(
+                out_dtype).astype(jnp.float32)
+            m = fb[..., :c]
+            for gi in range(1, 8):
+                m = jnp.maximum(m, fb[..., gi * c:(gi + 1) * c])
+            eqs = [fb[..., i * c:(i + 1) * c] == m for i in range(8)]
+            cnt = sum(e.astype(jnp.float32) for e in eqs)
+            gqs = gq.astype(jnp.float32) / cnt
+            gf = gf + jnp.concatenate(
+                [jnp.where(e, gqs, 0.0) for e in eqs], axis=-1)
+        dt = gf * jnp.where(t >= 0, 1.0, slope)
+        a1 = jnp.sum(dt * yf, axis=(1, 2, 3))
+        a2 = jnp.sum(dt, axis=(1, 2, 3))
+        a3 = jnp.sum(dt * rf, axis=(1, 2, 3))
+        dtv = dt.astype(out_dtype)
+    # the kernel emits ONE dt slab; the per-lane scalings fuse into the
+    # consumers (conv-2 adjoint pad chain, residual-1x1 adjoint einsum)
+    d_ys = (dtv.astype(jnp.float32)
+            * scale2.astype(jnp.float32)[bc]).astype(ys.dtype)
+    d_rs = (dtv.astype(jnp.float32)
+            * scale_r.astype(jnp.float32)[bc]).astype(rs.dtype)
+    d_shift = a2.astype(shift2.dtype)
+    return (d_ys, d_rs, a1.astype(scale2.dtype), d_shift,
+            a3.astype(scale_r.dtype), d_shift)
+
+
+finale_s2d_train.defvjp(_finale_train_fwd, _finale_train_bwd)
+
+
 def _upsample_wm(w: jnp.ndarray, cin: int) -> jnp.ndarray:
     """(2,2,2,cin,cout) transposed-conv kernel (flax orientation) ->
     (cin, 8*cout) matrix: lax.conv_transpose flips the kernel, so output

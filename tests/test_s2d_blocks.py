@@ -110,6 +110,11 @@ def test_resblock_conv8_train_pair_matches_composed():
 
     def loss(variables, xin, pair):
         os.environ["FCD_CONV8_TRAIN"] = "1" if pair else "0"
+        # isolate the conv-pair formulation: the fused train finale is a
+        # further (independently rounded) formulation whose own parity is
+        # owned by test_finale_train; stacking both drifts here would
+        # compare two rounding changes at once
+        os.environ["FCD_FINALE_TRAIN"] = "0"
         out = block.apply(variables, train=True,
                           s2d_parts=[(to_s2d(xin), 16)])
         return jnp.sum(jnp.sin(out.astype(jnp.float32)))
@@ -119,6 +124,7 @@ def test_resblock_conv8_train_pair_matches_composed():
         v1, (g1v, g1x) = jax.value_and_grad(loss, argnums=(0, 1))(v, x, True)
     finally:
         os.environ.pop("FCD_CONV8_TRAIN", None)
+        os.environ.pop("FCD_FINALE_TRAIN", None)
 
     def rel(a, b):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
