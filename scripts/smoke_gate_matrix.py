@@ -70,6 +70,7 @@ TRAIN_GATES = [
     ("FCD_CONV8_TRAIN", "0"),
     ("FCD_CONV8_STATS", "0"),
     ("FCD_CONV8_PROLOGUE", "0"),
+    ("FCD_FINALE_TRAIN", "0"),
     ("FCD_DSA_V2", "0"),
     ("FCD_POOL_BWD_KERNEL", "0"),
     ("FCD_IMAGE_PREJIT", "0"),
