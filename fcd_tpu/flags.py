@@ -142,6 +142,13 @@ FLAGS: Dict[str, Flag] = {
         "with a custom VJP emitting d_ys/d_rs and the affine-grad sums; "
         "off = composed XLA finale (~5 fusions per direction at level "
         "1/2).", tested="test_finale_train (parity incl. grads)"),
+    "FCD_SPATTN_KERNEL": Flag(
+        "1", "VMEM-resident spatial-attention tail (softmax + dropout + "
+        "attn@V per token tile, custom VJP, hardware-PRNG dropout): the "
+        "(B, N, h*P) attention matrix never round-trips HBM; off = the "
+        "v2 einsum tail (XLA materializes it, 0.81 ms N-minor fusion at "
+        "the level-3 train shape).",
+        tested="test_spatial_attn (parity incl. grads)"),
     "FCD_POOL_FWD_KERNEL": Flag(
         "1", "Pallas rotation-tree max-pool forward (full-lane VPU "
         "reduction); off = lane-slice maximum.", tested="test_flags_matrix"),

@@ -138,12 +138,27 @@ class DSA(nn.Module):
             qkvv = qkvv + b_qkvv.astype(qkvv.dtype)
 
         if _fcd_flags.get("FCD_DSA_V2") != "0":
+            # fused spatial-attention tail (kernels/spatial_attn.py): the
+            # kernel path draws its dropout bits from the hardware PRNG,
+            # seeded once per call from the module's dropout stream
+            from fcd_tpu.kernels.spatial_attn import _use_kernel
+
+            spattn_seed = None
+            if self.sa_type != "channel" and _use_kernel(
+                    N, C, h * self.proj_size):
+                if train and self.spatial_attn_drop > 0:
+                    spattn_seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0, 2 ** 31 - 1,
+                        dtype=jnp.int32)
+                else:
+                    spattn_seed = jnp.zeros((1,), jnp.int32)
             return finish(_dsa_tokens_resident(
                 qkvv, ef, temperature, temperature2, h, c,
                 self.sa_type, drop_ca=nn.Dropout(
                     self.channel_attn_drop, deterministic=not train),
                 drop_sa=nn.Dropout(
-                    self.spatial_attn_drop, deterministic=not train)))
+                    self.spatial_attn_drop, deterministic=not train),
+                spattn_seed=spattn_seed))
 
         qkvv = qkvv.reshape(B, N, num, h, c)
         # (B, h, c, N) per slot
@@ -205,7 +220,7 @@ class DSA(nn.Module):
 
 
 def _dsa_tokens_resident(qkvv, ef, temperature, temperature2, h, c,
-                         sa_type, *, drop_ca, drop_sa):
+                         sa_type, *, drop_ca, drop_sa, spattn_seed=None):
     """DSA attention math in TOKENS-RESIDENT layout: every large tensor
     stays (B, N, lanes) with N in sublanes and lane-dense channels — the
     per-head (B, h, c, N) forms of the v1 einsum path put N in the lane
@@ -262,12 +277,21 @@ def _dsa_tokens_resident(qkvv, ef, temperature, temperature2, h, c,
         kpb = jnp.einsum("bhcp,hg->bhcgp", kp.reshape(B, h, c, p),
                          eye_h * t2[:, None])
         kpb = kpb.reshape(B, C, h * p)
-        attn = jnp.einsum("bnc,bcq->bnq", qn, kpb)             # (B, N, h*P)
-        attn = jax.nn.softmax(attn.reshape(B, N, h, p), axis=-1)
-        attn = drop_sa(attn).reshape(B, N, h * p)
         # VB[b, g*P+p, hc+ci] = vp[b, hc+ci, p] * (g == h)
         vpb = jnp.einsum("bhcp,hg->bgphc", vp.reshape(B, h, c, p), eye_h)
         vpb = vpb.reshape(B, h * p, C)
+        if spattn_seed is not None:
+            # VMEM-resident softmax+dropout+GEMM tail (custom VJP): the
+            # (B, N, h*P) attention matrix never round-trips HBM — the
+            # XLA form's 0.81 ms N-minor fusion at the level-3 train
+            # shape (kernels/spatial_attn.py) never runs
+            from fcd_tpu.kernels.spatial_attn import spatial_attn_train
+
+            rate = 0.0 if drop_sa.deterministic else float(drop_sa.rate)
+            return spatial_attn_train(qn, kpb, vpb, spattn_seed, h, rate)
+        attn = jnp.einsum("bnc,bcq->bnq", qn, kpb)             # (B, N, h*P)
+        attn = jax.nn.softmax(attn.reshape(B, N, h, p), axis=-1)
+        attn = drop_sa(attn).reshape(B, N, h * p)
         return jnp.einsum("bnq,bqc->bnc", attn, vpb)
 
     if sa_type == "channel":
